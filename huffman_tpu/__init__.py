@@ -1,0 +1,46 @@
+"""huffman_tpu: a TPU-native multi-stream canonical-Huffman codec framework.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of the
+``ahartik/huffman-avx512`` reference (AVX-512 C++): K independent
+sub-streams sharing one canonical Huffman table, encoded/decoded in lockstep
+across vector lanes.  Where the reference keeps 8 streams per zmm register,
+the TPU design keeps hundreds per core in (sublane, lane) tiles, and scales
+further by sharding independent blocks across a device mesh.
+
+Format profiles:
+  * ``ref`` — byte-compatible with the reference's format (K streams,
+    backward bitstreams); used for cross-verification and the golden model.
+  * ``tpu`` — word-aligned, lane-transposed framing designed for dense
+    (8, 128)-tile access on TPU; the performance profile.
+"""
+
+from .constants import MAX_CODE_LEN, NUM_SYMBOLS, STREAM_SLOP
+from .coding import (
+    CanonicalCoding,
+    histogram,
+    make_canonical_coding,
+    decode_tables_1x,
+    decode_tables_2x,
+)
+from .format import ParsedHeader, parse_header, slice_sizes, write_header
+from .golden import GoldenCodec, compress, decompress
+
+__all__ = [
+    "MAX_CODE_LEN",
+    "NUM_SYMBOLS",
+    "STREAM_SLOP",
+    "CanonicalCoding",
+    "histogram",
+    "make_canonical_coding",
+    "decode_tables_1x",
+    "decode_tables_2x",
+    "ParsedHeader",
+    "parse_header",
+    "slice_sizes",
+    "write_header",
+    "GoldenCodec",
+    "compress",
+    "decompress",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,25 @@
+"""Format constants shared by every codec implementation.
+
+These mirror the wire-format constants of the reference implementation
+(reference: codec/huffman.cpp:38-42) so that the ``ref`` format profile is
+bit-compatible with it.  The TPU profile reuses the same canonical-code
+construction and therefore the same limits.
+"""
+
+# Maximum canonical code length in bits.  The reference caps at 12
+# (codec/huffman.cpp:38): its AVX compressor packs the length into a nibble
+# and its decode table has 2^12 entries.  We keep 12 so decode tables stay
+# small (4096 entries fits VMEM trivially) and compressed output is
+# byte-compatible.
+MAX_CODE_LEN = 12
+
+# Length assigned by the unconstrained Huffman build can be up to ~32 before
+# limiting (codec/huffman.cpp:41-42).
+MAX_OPTIMAL_CODE_LEN = 32
+
+# Per-stream slop appended to every stream region so 8-byte-wide writers and
+# readers may overhang safely (codec/huffman.cpp:770 ``kSlop``).
+STREAM_SLOP = 8
+
+# Number of symbols in the alphabet (bytes).
+NUM_SYMBOLS = 256

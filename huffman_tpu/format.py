@@ -1,0 +1,115 @@
+"""Wire format: header serialize/parse and stream framing (``ref`` profile).
+
+Byte-compatible with the reference's compressed format (reference:
+codec/huffman.cpp:794-813 writer, :708-736 parser):
+
+    u32  raw_size                  (LE)
+    u32  len_mask                  (LE; bit i set <=> some code has length i)
+    u8   count[popcount(len_mask)] (one per set bit, ascending length;
+                                    count==0 with a single length means 256
+                                    symbols of length 8)
+    u8   syms[num_syms]            (symbols sorted by length asc, freq desc)
+    u32  end_offset[K-1]           (LE; cumulative end of each stream region
+                                    relative to payload start)
+    u8   payload[...]              (K back-to-back stream regions)
+
+Each stream region is ``ceil(stream_bits / 8) + STREAM_SLOP`` bytes.  The
+bitstream within a region is written *backward*: byte i of the stream (in
+bit order) lives at ``region_end - 1 - i``, bits MSB-first within each byte.
+The low ``STREAM_SLOP`` bytes of a region are never read.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from .constants import MAX_CODE_LEN, STREAM_SLOP
+
+
+def slice_sizes(length: int, k: int) -> np.ndarray:
+    """Split ``length`` into ``k`` near-equal slice sizes.
+
+    First ``length % k`` slices get one extra byte, so the last slice is
+    always minimal (reference: internal::SliceSizes, huffman.cpp:98-108 —
+    the AVX main-loop bound exploits this property and so do our kernels).
+    """
+    base = length // k
+    sizes = np.full(k, base, dtype=np.int64)
+    sizes[: length % k] += 1
+    return sizes
+
+
+@dataclasses.dataclass
+class ParsedHeader:
+    raw_size: int
+    len_count: np.ndarray  # uint16[MAX_CODE_LEN+1]
+    sorted_syms: np.ndarray  # uint8[num_syms]
+    num_syms: int
+    end_offsets: np.ndarray  # int64[K], cumulative, relative to payload start
+    payload: memoryview  # the K stream regions
+
+
+def stream_region_sizes(per_stream_bits: np.ndarray) -> np.ndarray:
+    """Exact region size per stream: ceil(bits/8) + slop (huffman.cpp:770-783)."""
+    bits = np.asarray(per_stream_bits, dtype=np.int64)
+    return (bits + 7) // 8 + STREAM_SLOP
+
+
+def write_header(
+    raw_size: int,
+    len_count: np.ndarray,
+    len_mask: int,
+    sorted_syms: np.ndarray,
+    end_offsets: np.ndarray,
+) -> bytes:
+    """Serialize the header.  ``end_offsets`` is the cumulative array; only
+    the first K-1 entries are stored (the last is implied by total size)."""
+    out = bytearray()
+    out += struct.pack("<II", raw_size, len_mask)
+    for ln in range(MAX_CODE_LEN + 1):
+        c = int(len_count[ln])
+        if c:
+            out.append(c & 0xFF)  # 256 wraps to 0: the "all 8-bit codes" case
+    out += bytes(np.asarray(sorted_syms, dtype=np.uint8).tobytes())
+    k = len(end_offsets)
+    for i in range(k - 1):
+        out += struct.pack("<I", int(end_offsets[i]))
+    return bytes(out)
+
+
+def parse_header(compressed: bytes | memoryview, k: int) -> ParsedHeader:
+    """Parse header written by `write_header` (reference: huffman.cpp:708-736)."""
+    buf = memoryview(compressed)
+    raw_size, len_mask = struct.unpack_from("<II", buf, 0)
+    pos = 8
+    len_count = np.zeros(MAX_CODE_LEN + 1, dtype=np.uint16)
+    one_size = bin(len_mask).count("1") == 1
+    num_syms = 0
+    for ln in range(MAX_CODE_LEN + 1):
+        if len_mask & (1 << ln):
+            c = buf[pos]
+            pos += 1
+            if one_size and c == 0:
+                assert ln == 8, "count overflow only legal for 256 8-bit codes"
+                c = 256
+            len_count[ln] = c
+            num_syms += c
+    sorted_syms = np.frombuffer(buf[pos : pos + num_syms], dtype=np.uint8).copy()
+    pos += num_syms
+    end_offsets = np.zeros(k, dtype=np.int64)
+    for i in range(k - 1):
+        (end_offsets[i],) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+    payload = buf[pos:]
+    end_offsets[k - 1] = len(payload)
+    return ParsedHeader(
+        raw_size=raw_size,
+        len_count=len_count,
+        sorted_syms=sorted_syms,
+        num_syms=num_syms,
+        end_offsets=end_offsets,
+        payload=payload,
+    )

@@ -1,0 +1,81 @@
+"""Shared test corpus mirroring the reference's test inputs
+(reference: codec/huffman_test.cpp:56-184 and codec/huffman_benchmark.cpp:27-36).
+
+Every codec implementation in this repo is exercised against the same cases
+the reference used, because those are the inputs its author says previously
+exposed bugs (EqualCounts, SingleSymbolOnly, LongCodes, EmptyString).
+"""
+
+import numpy as np
+
+LOREM = (
+    b"\nLorem ipsum dolor sit amet, consectetur adipiscing elit, sed do eiusmod\n"
+    b"tempor incididunt ut labore et dolore magna aliqua. Ut enim ad minim\n"
+    b"veniam, quis nostrud exercitation ullamco laboris nisi ut aliquip ex ea\n"
+    b"commodo consequat. Duis aute irure dolor in reprehenderit in voluptate\n"
+    b"velit esse cillum dolore eu fugiat nulla pariatur. Excepteur sint\n"
+    b"occaecat cupidatat non proident, sunt in culpa qui officia deserunt\n"
+    b"mollit anim id est laborum.\n    "
+)
+
+
+def equal_counts(seed: int = 0) -> bytes:
+    """4 copies of every byte value, shuffled: forces exactly-8-bit codes and
+    the 256-count header-byte overflow path (huffman_test.cpp:100-113)."""
+    rng = np.random.default_rng(seed)
+    raw = np.tile(np.arange(256, dtype=np.uint8), 4)
+    rng.shuffle(raw)
+    return raw.tobytes()
+
+
+def long_random(n: int = 100_000, seed: int = 0) -> bytes:
+    """Biased bytes: AND of three uniform bytes (huffman_test.cpp:115-131)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(3, n), dtype=np.uint16)
+    return (a[0] & a[1] & a[2]).astype(np.uint8).tobytes()
+
+
+def long_codes(log_size: int = 16) -> bytes:
+    """Exponential distribution forcing the length limiter
+    (huffman_test.cpp:144-156)."""
+    parts = [bytes([ord("A") + i]) * (1 << i) for i in range(log_size)]
+    return b"".join(parts)
+
+
+def many_random(num: int = 100, seed: int = 0):
+    """num short random biased printable strings (huffman_test.cpp:164-184)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(num):
+        n = 1 + int(rng.integers(0, 1000))
+        chunk = bytearray()
+        while len(chunk) < n:
+            ch = (int(rng.integers(0, 256)) & int(rng.integers(0, 256))) ^ ord("A")
+            if 32 <= ch < 127:
+                chunk.append(ch)
+        out.append(bytes(chunk))
+    return out
+
+
+def biased_proba(p: float = 0.2, n: int = 100 << 10, seed: int = 0) -> bytes:
+    """Geometric byte distribution p_i = (1-p)^i * p, the reference's
+    benchmark generator (huffman_benchmark.cpp:27-36, from FSE fullbench)."""
+    rng = np.random.default_rng(seed)
+    u = rng.random(n)
+    vals = (np.log(u) / np.log(1 - p)).astype(np.int64) % 256
+    return vals.astype(np.uint8).tobytes()
+
+
+def standard_cases():
+    """(name, bytes) pairs covering the reference's typed-test corpus."""
+    return [
+        ("hello", b"Hello World"),
+        ("lorem", LOREM),
+        ("equal_counts", equal_counts()),
+        ("long_random", long_random()),
+        ("single_symbol_short", b"AAA"),
+        ("single_symbol_long", b"a" * 1000),
+        ("long_codes", long_codes()),
+        ("empty", b""),
+        ("biased", biased_proba(n=10_000)),
+    ]

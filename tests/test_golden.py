@@ -1,0 +1,109 @@
+"""Round-trip and format tests for the golden (oracle) codec.
+
+Mirrors the reference's typed round-trip suite (codec/huffman_test.cpp)
+plus structural checks on the canonical coding itself.
+"""
+
+import numpy as np
+import pytest
+
+from huffman_tpu import coding, format as fmt, golden
+from huffman_tpu.constants import MAX_CODE_LEN
+
+from corpus import standard_cases, many_random
+
+KS = [1, 2, 4, 8, 16, 32, 48]
+
+
+@pytest.mark.parametrize("name,raw", standard_cases())
+@pytest.mark.parametrize("k", KS)
+def test_round_trip(name, raw, k):
+    blob = golden.compress(raw, k)
+    assert golden.decompress(blob, k) == raw
+
+
+@pytest.mark.parametrize("k", [1, 4, 32])
+def test_many_random(k):
+    for i, raw in enumerate(many_random(40)):
+        blob = golden.compress(raw, k)
+        assert golden.decompress(blob, k) == raw, f"case {i}, len {len(raw)}"
+
+
+def test_kraft_equality_and_length_limit():
+    for name, raw in standard_cases():
+        hist = coding.histogram(raw)
+        cc = coding.make_canonical_coding(hist)
+        if cc.num_syms == 0:
+            continue
+        lens = cc.code_lens[cc.code_lens > 0]
+        assert cc.code_lens.max() <= MAX_CODE_LEN
+        # Kraft equality over present symbols (len 0 only for 1-symbol case).
+        present = np.nonzero(hist)[0]
+        kraft = sum(2.0 ** -int(cc.code_lens[s]) for s in present)
+        if cc.num_syms > 1:
+            assert kraft == pytest.approx(1.0), name
+        else:
+            assert int(cc.code_lens[present[0]]) == 0
+
+
+def test_codes_are_prefix_free():
+    raw = standard_cases()[3][1]  # long_random
+    cc = coding.make_canonical_coding(coding.histogram(raw))
+    present = [(int(cc.code_bits[s]), int(cc.code_lens[s])) for s in np.nonzero(coding.histogram(raw))[0]]
+    for b1, l1 in present:
+        for b2, l2 in present:
+            if (b1, l1) == (b2, l2):
+                continue
+            lo = min(l1, l2)
+            assert (b1 >> (MAX_CODE_LEN - lo)) != (b2 >> (MAX_CODE_LEN - lo))
+
+
+def test_compressed_size_not_larger_than_naive():
+    # Compressibility sanity: biased data must compress well below 8 bits/B.
+    name, raw = standard_cases()[3]
+    blob = golden.compress(raw, 4)
+    assert len(blob) < 0.8 * len(raw)
+
+
+def test_equal_counts_header_roundtrip():
+    # 256 symbols of length 8: count byte wraps to 0 (huffman.cpp:720-731).
+    raw = standard_cases()[2][1]
+    blob = golden.compress(raw, 4)
+    h = fmt.parse_header(blob, 4)
+    assert h.num_syms == 256
+    assert int(h.len_count[8]) == 256
+    assert golden.decompress(blob, 4) == raw
+
+
+def test_header_parse_matches_write():
+    raw = b"the quick brown fox jumps over the lazy dog" * 7
+    k = 8
+    blob = golden.compress(raw, k)
+    h = fmt.parse_header(blob, k)
+    assert h.raw_size == len(raw)
+    assert h.end_offsets[-1] == len(h.payload)
+    assert (np.diff(h.end_offsets) > 0).all() or len(raw) == 0
+
+
+def test_slice_sizes():
+    s = fmt.slice_sizes(11, 4)
+    assert s.tolist() == [3, 3, 3, 2]
+    assert fmt.slice_sizes(0, 8).tolist() == [0] * 8
+    # Last slice is always minimal (reference exploits this).
+    for n in range(0, 130, 7):
+        for k in [1, 3, 8, 32]:
+            ss = fmt.slice_sizes(n, k)
+            assert ss.sum() == n and ss[-1] == ss.min()
+
+
+def test_decode_tables_consistency():
+    raw = standard_cases()[1][1]
+    cc = coding.make_canonical_coding(coding.histogram(raw))
+    t1_len, t1_sym = coding.decode_tables_1x(cc.len_count, cc.sorted_syms)
+    t2_bits, t2_s0, t2_s1, t2_n = coding.decode_tables_2x(cc.len_count, cc.sorted_syms)
+    # First symbol of a 2x entry always equals the 1x decode.
+    assert (t2_s0 == t1_sym).all()
+    # Entry codes decode to themselves: code of sym s, left-aligned, decodes to s.
+    for s in np.nonzero(cc.code_lens)[0]:
+        assert t1_sym[int(cc.code_bits[s])] == s
+        assert t1_len[int(cc.code_bits[s])] == cc.code_lens[s]
