@@ -1,0 +1,147 @@
+"""Build the C++ reference codec as an external test oracle.
+
+Compiles the read-only reference sources (REFERENCE_DIR) together with a
+small C shim into a shared library under a scratch directory.  The library
+is used only by tests (skipped when unavailable) to cross-verify that this
+framework decodes reference-produced blobs bit-exactly and vice versa —
+the same cross-implementation checking idea as the reference's own
+``AvxCheckCompressor`` (codec/huffman_test.cpp:15-32).
+
+No reference code is vendored into this repo; the shim below is original.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REFERENCE_DIR = os.environ.get("HUFFMAN_REFERENCE_DIR", "/root/reference")
+BUILD_DIR = os.environ.get("HUFFMAN_ORACLE_DIR", "/tmp/huffman_ref_oracle")
+LIB_PATH = os.path.join(BUILD_DIR, "libref_oracle.so")
+
+SHIM = r"""
+#include <cstring>
+#include <string>
+#include <string_view>
+#include "huffman.h"
+
+using namespace huffman;
+
+namespace {
+template <int K>
+std::string dispatch_compress(int method, std::string_view raw) {
+  switch (method) {
+    case 1: if constexpr (K % 8 == 0) return CompressMultiAvx512Gather<K>(raw); break;
+    case 2: if constexpr (K % 8 == 0) return CompressMultiAvx512Permute<K>(raw); break;
+    default: return CompressMulti<K>(raw);
+  }
+  return CompressMulti<K>(raw);
+}
+template <int K>
+std::string dispatch_decompress(int method, std::string_view blob) {
+  switch (method) {
+    case 1: if constexpr (K % 8 == 0) return DecompressMultiAvx512Gather<K>(blob); break;
+    case 2: if constexpr (K % 8 == 0) return DecompressMultiAvx512Permute<K>(blob); break;
+    default: return DecompressMulti<K>(blob);
+  }
+  return DecompressMulti<K>(blob);
+}
+
+std::string run(int op, int k, int method, std::string_view in) {
+  #define CASE(K) case K: return op == 0 ? dispatch_compress<K>(method, in) \
+                                         : dispatch_decompress<K>(method, in);
+  switch (k) { CASE(1) CASE(2) CASE(4) CASE(8) CASE(16) CASE(32) }
+  #undef CASE
+  return {};
+}
+}  // namespace
+
+extern "C" long ref_run(int op, int k, int method, const char* in,
+                        long in_len, char* out, long out_cap) {
+  std::string r = run(op, k, method, std::string_view(in, in_len));
+  if ((long)r.size() > out_cap) return -(long)r.size();
+  std::memcpy(out, r.data(), r.size());
+  return (long)r.size();
+}
+"""
+
+
+def build(verbose: bool = True) -> str | None:
+    """Build (if needed) and return the library path, or None on failure."""
+    if os.path.exists(LIB_PATH):
+        return LIB_PATH
+    src = os.path.join(REFERENCE_DIR, "codec")
+    if not os.path.isdir(src):
+        return None
+    os.makedirs(BUILD_DIR, exist_ok=True)
+    inc = os.path.join(BUILD_DIR, "include")
+    os.makedirs(inc, exist_ok=True)
+    # g++ 12 has no <format>; the reference only uses std::format for debug
+    # log strings, so a do-nothing stub suffices for the oracle build.
+    with open(os.path.join(inc, "format"), "w") as f:
+        f.write(
+            "#pragma once\n#include <string>\n#include <string_view>\n"
+            "namespace std {\n"
+            "template <typename... Args>\n"
+            "inline string format(string_view f, Args&&...) { return string(f); }\n"
+            "}\n"
+        )
+    shim_path = os.path.join(BUILD_DIR, "shim.cpp")
+    with open(shim_path, "w") as f:
+        f.write(SHIM)
+    cmd = [
+        "g++", "-std=c++20", "-O2", "-shared", "-fPIC",
+        "-march=native", "-mbmi2", "-fno-stack-protector",
+        "-DNDEBUG",
+        "-I", inc, "-I", REFERENCE_DIR, "-I", src,
+        shim_path,
+        os.path.join(src, "huffman.cpp"),
+        os.path.join(src, "histogram.cpp"),
+        "-o", LIB_PATH,
+    ]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    except Exception:
+        return None
+    if r.returncode != 0:
+        if verbose:
+            sys.stderr.write(r.stderr[-4000:])
+        return None
+    return LIB_PATH
+
+
+def load():
+    """ctypes handle to the oracle, or None."""
+    import ctypes
+
+    path = build(verbose=False)
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.ref_run.restype = ctypes.c_long
+    lib.ref_run.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_char_p, ctypes.c_long,
+    ]
+    return lib
+
+
+def run(lib, op: int, k: int, method: int, data: bytes) -> bytes:
+    import ctypes
+
+    cap = max(4 * len(data) + 4096, 1 << 16)
+    out = ctypes.create_string_buffer(cap)
+    n = lib.ref_run(op, k, method, data, len(data), out, cap)
+    if n < 0:
+        cap = -n
+        out = ctypes.create_string_buffer(cap)
+        n = lib.ref_run(op, k, method, data, len(data), out, cap)
+    assert n >= 0
+    return out.raw[:n]
+
+
+if __name__ == "__main__":
+    p = build()
+    print(p if p else "BUILD FAILED")
