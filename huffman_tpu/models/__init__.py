@@ -1,0 +1,17 @@
+"""Codec facades.
+
+Every codec exposes ``compress(bytes) -> bytes`` / ``decompress(bytes) ->
+bytes`` / ``name`` — the same duck-typed shape the reference's tests and
+benchmarks template over (reference: codec/huffman.h:42-97).
+"""
+
+from ..golden import GoldenCodec
+from .jax_codec import JaxCodec
+from .tpu_codec import TpuCodec
+
+try:  # native C++ runtime is optional (built on demand)
+    from .native_codec import NativeCodec
+except Exception:  # pragma: no cover
+    NativeCodec = None
+
+__all__ = ["GoldenCodec", "JaxCodec", "TpuCodec", "NativeCodec"]

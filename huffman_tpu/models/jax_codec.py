@@ -1,0 +1,136 @@
+"""JAX codec: ``ref``-profile compress/decompress with device kernels.
+
+Wire-compatible with the reference's K-stream format (and with
+:mod:`huffman_tpu.golden`); the per-byte hot loops run on the accelerator
+while table construction and framing stay on the host, exactly as the
+reference keeps its table build scalar (codec/huffman.cpp:339-437).
+
+For the TPU-framed high-throughput profile (large K, transposed word
+payload, no host framing in the hot path) see
+:mod:`huffman_tpu.models.tpu_codec`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import coding, format as fmt, golden
+from ..constants import STREAM_SLOP
+from ..ops import tables
+from ..ops.decode import decode_lanes
+from ..ops.encode import encode_lanes, words_to_byte_columns
+
+
+@functools.partial(jax.jit, static_argnames=("s", "k"))
+def _encode_jit(data, enc_table, bounds, sizes, s: int, k: int):
+    idx = bounds[None, :] + jnp.arange(s, dtype=jnp.int32)[:, None]
+    valid = jnp.arange(s, dtype=jnp.int32)[:, None] < sizes[None, :]
+    b = jnp.take(data, jnp.clip(idx, 0, data.shape[0] - 1)).astype(jnp.int32)
+    words, word_counts, bit_counts = encode_lanes(b, valid, enc_table)
+    return words_to_byte_columns(words), bit_counts
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def _decode_jit(flipped, dec_table, fwd_base, fwd_len, sizes, out_idx, s: int):
+    syms = decode_lanes(flipped, dec_table, fwd_base, fwd_len, sizes, num_steps=s, out_len=s)
+    return jnp.take(syms.reshape(-1), out_idx)
+
+
+@jax.jit
+def _hist_jit(data):
+    return jnp.zeros(256, jnp.int32).at[data].add(1)
+
+
+def device_histogram(data: jnp.ndarray) -> np.ndarray:
+    return np.asarray(_hist_jit(data))
+
+
+class JaxCodec:
+    """K-stream ``ref``-profile codec with XLA kernels."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    @property
+    def name(self) -> str:
+        return f"Jax<{self.k}>"
+
+    def compress(self, raw: bytes) -> bytes:
+        n = len(raw)
+        k = self.k
+        if n == 0 or n < 4 * k:
+            # Tiny inputs: device launch overhead dwarfs any win.
+            return golden.compress(raw, k)
+        data = jnp.asarray(np.frombuffer(raw, dtype=np.uint8))
+        hist = device_histogram(data)
+        cc = coding.make_canonical_coding(hist)
+
+        sizes_np = fmt.slice_sizes(n, k)
+        bounds_np = np.concatenate([[0], np.cumsum(sizes_np)])[:-1]
+        s = int(sizes_np.max())
+
+        enc_table = jnp.asarray(tables.pack_encode_table(cc))
+        byte_cols, bit_counts = _encode_jit(
+            data,
+            enc_table,
+            jnp.asarray(bounds_np.astype(np.int32)),
+            jnp.asarray(sizes_np.astype(np.int32)),
+            s,
+            k,
+        )
+        byte_cols = np.asarray(byte_cols)
+        bits = np.asarray(bit_counts).astype(np.int64)
+
+        region_sizes = fmt.stream_region_sizes(bits)
+        end_offsets = np.cumsum(region_sizes)
+        header = fmt.write_header(n, cc.len_count, cc.len_mask, cc.sorted_syms, end_offsets)
+
+        payload = np.zeros(int(end_offsets[-1]), dtype=np.uint8)
+        start = 0
+        for i in range(k):
+            nb = int((bits[i] + 7) // 8)
+            rs = int(region_sizes[i])
+            # Backward layout: forward stream byte j at region[rs - 1 - j].
+            payload[start + rs - nb : start + rs] = byte_cols[:nb, i][::-1]
+            start += rs
+        return header + payload.tobytes()
+
+    def decompress(self, blob: bytes) -> bytes:
+        k = self.k
+        h = fmt.parse_header(blob, k)
+        n = h.raw_size
+        if n == 0:
+            return b""
+        if n < 4 * k:
+            return golden.decompress(blob, k)
+        dec_table = jnp.asarray(tables.pack_decode_table(h.len_count, h.sorted_syms))
+        sizes_np = fmt.slice_sizes(n, k)
+        s = int(sizes_np.max())
+
+        payload = np.frombuffer(h.payload, dtype=np.uint8)
+        p = len(payload)
+        flipped = jnp.asarray(payload[::-1].copy())
+        starts = np.concatenate([[0], h.end_offsets[:-1]])
+        fwd_base = (p - h.end_offsets).astype(np.int32)
+        fwd_len = (h.end_offsets - starts).astype(np.int32)
+
+        lane_of = np.repeat(np.arange(k, dtype=np.int64), sizes_np)
+        s_of = np.arange(n, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(sizes_np)])[:-1], sizes_np
+        )
+        out_idx = (s_of * k + lane_of).astype(np.int32)
+
+        out = _decode_jit(
+            flipped,
+            dec_table,
+            jnp.asarray(fwd_base),
+            jnp.asarray(fwd_len),
+            jnp.asarray(sizes_np.astype(np.int32)),
+            jnp.asarray(out_idx),
+            s,
+        )
+        return np.asarray(out).tobytes()

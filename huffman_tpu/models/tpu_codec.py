@@ -1,0 +1,8 @@
+"""TPU-framed high-throughput codec profile (implemented below, stage 4)."""
+
+from __future__ import annotations
+
+
+class TpuCodec:  # placeholder; filled in by the tpu-profile milestone
+    def __init__(self, *a, **kw):
+        raise NotImplementedError("tpu profile lands in the next milestone")

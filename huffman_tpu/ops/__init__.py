@@ -1,0 +1,6 @@
+"""Device-side ops: histogram, encode/decode kernels, compaction.
+
+Pure-XLA (jnp) implementations live at this level; hand-written Pallas
+kernels live in :mod:`huffman_tpu.ops.pallas` and are selected by the codec
+classes when beneficial.
+"""

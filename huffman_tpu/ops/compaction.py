@@ -1,0 +1,68 @@
+"""Per-lane stable stream compaction, TPU-style (no per-lane scatters).
+
+Both codec kernels stage variable-rate results densely — one slot per step
+per lane, with a validity mask — because lanes produce output at different,
+data-dependent rates (a decode step emits 1-2 symbols; an encode step emits
+0-1 words).  Compaction then moves every valid entry to the front of its
+lane, preserving order.
+
+The reference sidesteps this with per-stream scalar pointers and masked
+scatters (codec/huffman.cpp:1611-1613); scatters with per-lane addresses
+are the one primitive that's expensive on a TPU, so instead we compact with
+``log2(T)`` rounds of *shift-by-2^j + select*, all dense VPU work:
+
+Each valid element must move left by ``d = index - rank`` slots, where
+``rank`` counts valid elements before it.  ``d`` is non-decreasing along the
+lane, so applying the binary decomposition of ``d`` low-bit-first never
+collides: in round ``j`` an element moves left by ``2^j`` iff bit ``j`` of
+its remaining displacement is set, and the slot it lands on either held an
+invalid entry or an element that is itself moving.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def compact_lanes(values, valid, out_len: int | None = None):
+    """Stably move valid entries to the front of axis 0, per lane.
+
+    Args:
+      values: (T, ...) array or tuple/list of same-shape arrays moved together.
+      valid: (T, ...) bool, which slots hold real entries.
+      out_len: trim the result to this many leading rows (static).
+
+    Returns:
+      (compacted_values, counts) where counts[...] = number of valid entries
+      per lane; rows >= counts hold unspecified values.
+    """
+    multi = isinstance(values, (tuple, list))
+    vals = list(values) if multi else [values]
+    T = vals[0].shape[0]
+
+    v = valid
+    counts = jnp.sum(v.astype(jnp.int32), axis=0)
+    rank = jnp.cumsum(v.astype(jnp.int32), axis=0) - 1  # rank among valid
+    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    # Displacement toward the front; meaningless (but harmless) when invalid.
+    d = jnp.where(v, idx - rank, 0)
+
+    shift = 1
+    while shift < T:
+        def mv(x):
+            return jax.lax.slice_in_dim(
+                jnp.concatenate([x, jnp.zeros((shift,) + x.shape[1:], x.dtype)], axis=0),
+                shift, shift + T, axis=0)
+
+        vs, ds = mv(v), mv(d)
+        arrive = vs & ((ds & shift) != 0)
+        stay = v & ((d & shift) == 0)
+        vals = [jnp.where(arrive, mv(x), x) for x in vals]
+        d = jnp.where(arrive, ds - shift, d)
+        v = arrive | stay
+        shift <<= 1
+
+    if out_len is not None:
+        vals = [jax.lax.slice_in_dim(x, 0, out_len, axis=0) for x in vals]
+    return (tuple(vals) if multi else vals[0]), counts

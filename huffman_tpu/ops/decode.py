@@ -1,0 +1,96 @@
+"""Lane-parallel decode kernel (pure XLA).
+
+Symbol-serial lockstep decode of K independent backward bitstreams: one
+scan step peeks 12 bits per lane, gathers a packed two-symbol table entry
+(4096-wide flat gather — v5e gathers sustain >100G lookups/s at thousands
+of lanes, so the table gather that was the reference's Zen-5 bottleneck,
+README.md:129-138, is cheap here), consumes, and refills up to two bytes.
+
+Variable-rate output (1-2 symbols per lane per step) is staged densely and
+compacted per lane afterwards — the TPU replacement for the reference's
+masked scatters (codec/huffman.cpp:1611-1613).
+
+Input layout: the caller passes the payload byte-reversed ("flipped"), so
+every lane reads *forward* from its ``fwd_base``; bytes past a lane's
+region read as zero, mirroring the reference's zero simulation past the
+region begin (huffman.cpp:536-556).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .compaction import compact_lanes
+from .tables import unpack_decode_entry
+
+_U32 = jnp.uint32
+
+
+def decode_lanes(flipped, dec_table, fwd_base, fwd_len, sizes, num_steps: int, out_len: int):
+    """Decode K lanes in lockstep.
+
+    Args:
+      flipped: (P,) uint8 — payload bytes, reversed, so lane k's stream reads
+        forward from index ``fwd_base[k]``.
+      dec_table: (4096,) int32 packed two-symbol entries.
+      fwd_base: (K,) int32 — first stream byte of each lane in ``flipped``.
+      fwd_len: (K,) int32 — stream byte length of each lane (reads beyond
+        this are masked to zero).
+      sizes: (K,) int32 — symbols to produce per lane.
+      num_steps: static scan length; must be >= max symbols per lane (a step
+        always produces >=1 symbol for an unfinished lane).
+      out_len: static output rows (>= max symbols per lane).
+
+    Returns:
+      syms: (out_len, K) uint8 decoded bytes (garbage rows past sizes[k]).
+    """
+    P = flipped.shape[0]
+    K = fwd_base.shape[0]
+
+    def load_byte(pos):
+        # Masked byte load: zero past the lane's stream (and past the array).
+        ok = pos - fwd_base < fwd_len
+        b = jnp.take(flipped, jnp.clip(pos, 0, P - 1))
+        return jnp.where(ok, b, 0).astype(_U32)
+
+    def refill(buf, nbits, pos):
+        # Up to two byte loads bring nbits from >=4 to >=12 (wire bytes are
+        # MSB-first, so a byte lands just under the valid bits).
+        for _ in range(2):
+            need = nbits < 12
+            b = load_byte(pos)
+            buf = jnp.where(need, buf | (b << (24 - nbits).astype(_U32)), buf)
+            pos = jnp.where(need, pos + 1, pos)
+            nbits = jnp.where(need, nbits + 8, nbits)
+        return buf, nbits, pos
+
+    def step(carry, _):
+        buf, nbits, pos, remaining = carry
+        buf, nbits, pos = refill(buf, nbits, pos)
+        code = buf >> 20
+        e = jnp.take(dec_table, code)
+        nb, n, s0, s1 = unpack_decode_entry(e)
+        alive = remaining > 0
+        emit0 = alive
+        emit1 = (n == 2) & (remaining >= 2)
+        take = jnp.where(alive, jnp.minimum(n, remaining), 0)
+        buf = jnp.where(alive, buf << nb.astype(_U32), buf)
+        nbits = jnp.where(alive, nbits - nb, nbits)
+        remaining = remaining - take
+        ys = (s0.astype(jnp.uint8), s1.astype(jnp.uint8), emit0, emit1)
+        return (buf, nbits, pos, remaining), ys
+
+    init = (
+        jnp.zeros((K,), _U32),
+        jnp.zeros((K,), jnp.int32),
+        fwd_base,
+        sizes,
+    )
+    _, (s0, s1, e0, e1) = jax.lax.scan(step, init, None, length=num_steps)
+
+    # Interleave the two per-step slots: step-major, slot-minor.
+    staged = jnp.stack([s0, s1], axis=1).reshape(2 * num_steps, K)
+    emits = jnp.stack([e0, e1], axis=1).reshape(2 * num_steps, K)
+    syms, _counts = compact_lanes(staged, emits, out_len=out_len)
+    return syms

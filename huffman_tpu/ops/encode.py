@@ -1,0 +1,78 @@
+"""Lane-parallel encode kernel (pure XLA).
+
+K independent streams encode in lockstep: one scan over byte-steps, where
+step ``s`` appends the code for byte ``s`` of *every* lane into per-lane
+32-bit accumulators and emits a 16-bit word per lane whenever one fills.
+This is the reference's stream-major hot loop (codec/huffman.cpp:825-843)
+turned inside-out for a vector machine with thousands of lanes: instead of
+K=8 pointer-chasing writers, emission is staged densely (one slot per step)
+and compacted per lane afterwards — no per-lane scatters anywhere.
+
+Bit semantics match the wire format exactly: codes are appended MSB-first;
+emitted 16-bit words hold stream bits in forward order (bit 15 first).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .compaction import compact_lanes
+
+_U32 = jnp.uint32
+
+
+def encode_lanes(byte_matrix, valid, enc_table):
+    """Encode K lanes in lockstep.
+
+    Args:
+      byte_matrix: (S, K) int32 — byte s of each lane's slice (dense,
+        transposed layout; garbage where not valid).
+      valid: (S, K) bool — real input bytes (lanes may differ in length by 1).
+      enc_table: (256,) uint32 packed ``code<<4 | len``.
+
+    Returns:
+      words: (S+1, K) uint16 — per-lane compacted stream words, forward bit
+        order, MSB-first; rows >= word_counts are garbage.
+      word_counts: (K,) int32.
+      bit_counts: (K,) int32 — exact stream bit length per lane (drives the
+        byte-exact region sizing, same trick as huffman.cpp:770-786).
+    """
+    S, K = byte_matrix.shape
+
+    entries = jnp.where(valid, jnp.take(enc_table, byte_matrix, axis=0), 0)
+
+    def step(carry, e):
+        acc, nbits = carry  # acc: u32 left-aligned bit buffer; nbits: i32
+        code = (e >> 4).astype(_U32)  # 12-bit left-aligned code value
+        ln = (e & 15).astype(jnp.int32)
+        acc = acc | (code << (20 - nbits).astype(_U32))
+        nbits = nbits + ln
+        emit = nbits >= 16
+        word = (acc >> 16).astype(jnp.uint16)
+        acc = jnp.where(emit, acc << 16, acc)
+        nbits = jnp.where(emit, nbits - 16, nbits)
+        return (acc, nbits), (word, emit)
+
+    acc0 = jnp.zeros((K,), _U32)
+    nb0 = jnp.zeros((K,), jnp.int32)
+    (acc, nbits), (words, emits) = jax.lax.scan(step, (acc0, nb0), entries)
+
+    # Tail: flush remaining bits (zero-padded at the low end of the word).
+    tail_word = (acc >> 16).astype(jnp.uint16)[None]
+    tail_emit = (nbits > 0)[None]
+    words = jnp.concatenate([words, tail_word], axis=0)
+    emits = jnp.concatenate([emits, tail_emit], axis=0)
+
+    lens = (entries & 15).astype(jnp.int32)
+    bit_counts = jnp.sum(lens, axis=0)
+
+    compacted, word_counts = compact_lanes(words, emits)
+    return compacted, word_counts, bit_counts
+
+
+def words_to_byte_columns(words):
+    """(W, K) u16 forward words -> (2W, K) u8 forward stream bytes."""
+    hi = (words >> 8).astype(jnp.uint8)
+    lo = (words & 0xFF).astype(jnp.uint8)
+    return jnp.stack([hi, lo], axis=1).reshape(2 * words.shape[0], words.shape[1])

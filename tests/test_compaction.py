@@ -1,0 +1,63 @@
+"""Property tests for the shift-based per-lane compaction primitive."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from huffman_tpu.ops.compaction import compact_lanes as _compact_lanes
+
+compact_lanes = jax.jit(_compact_lanes, static_argnames=("out_len",))
+
+
+def _oracle(values, valid):
+    out = np.zeros_like(values)
+    counts = np.zeros(values.shape[1:], dtype=np.int32)
+    for lane in np.ndindex(values.shape[1:]):
+        col = values[(slice(None),) + lane]
+        m = valid[(slice(None),) + lane]
+        picked = col[m]
+        out[(slice(0, len(picked)),) + lane] = picked
+        counts[lane] = len(picked)
+    return out, counts
+
+
+@pytest.mark.parametrize("t", [1, 2, 3, 7, 16, 33, 128, 257])
+@pytest.mark.parametrize("density", [0.0, 0.1, 0.5, 0.9, 1.0])
+def test_compact_matches_oracle(t, density):
+    rng = np.random.default_rng(t * 1000 + int(density * 10))
+    vals = rng.integers(0, 1 << 30, size=(t, 4, 8)).astype(np.int32)
+    valid = rng.random((t, 4, 8)) < density
+    got, counts = compact_lanes(jnp.asarray(vals), jnp.asarray(valid))
+    exp_vals, exp_counts = _oracle(vals, valid)
+    np.testing.assert_array_equal(np.asarray(counts), exp_counts)
+    got = np.asarray(got)
+    for lane in np.ndindex(4, 8):
+        n = exp_counts[lane]
+        np.testing.assert_array_equal(
+            got[(slice(0, n),) + lane], exp_vals[(slice(0, n),) + lane]
+        )
+
+
+def test_compact_multi_arrays_move_together():
+    rng = np.random.default_rng(0)
+    t = 64
+    a = rng.integers(0, 255, size=(t, 16)).astype(np.uint8)
+    b = rng.integers(0, 1 << 15, size=(t, 16)).astype(np.uint16)
+    valid = rng.random((t, 16)) < 0.3
+    (ga, gb), counts = compact_lanes((jnp.asarray(a), jnp.asarray(b)), jnp.asarray(valid))
+    ea, ca = _oracle(a, valid)
+    eb, _ = _oracle(b, valid)
+    for k in range(16):
+        n = ca[k]
+        np.testing.assert_array_equal(np.asarray(ga)[:n, k], ea[:n, k])
+        np.testing.assert_array_equal(np.asarray(gb)[:n, k], eb[:n, k])
+
+
+def test_out_len_trim():
+    vals = jnp.arange(32, dtype=jnp.int32).reshape(32, 1)
+    valid = jnp.ones((32, 1), dtype=bool)
+    got, counts = compact_lanes(vals, valid, out_len=8)
+    assert got.shape == (8, 1)
+    np.testing.assert_array_equal(np.asarray(got)[:, 0], np.arange(8))

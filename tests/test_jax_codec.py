@@ -1,0 +1,41 @@
+"""JAX codec: round-trip, golden cross-parity, and kernel unit tests."""
+
+import numpy as np
+import pytest
+
+from huffman_tpu import golden
+from huffman_tpu.models.jax_codec import JaxCodec
+
+from corpus import standard_cases, many_random
+
+KS = [1, 4, 32, 256]
+
+
+@pytest.mark.parametrize("name,raw", standard_cases())
+@pytest.mark.parametrize("k", KS)
+def test_round_trip(name, raw, k):
+    c = JaxCodec(k)
+    blob = c.compress(raw)
+    assert c.decompress(blob) == raw
+
+
+@pytest.mark.parametrize("name,raw", standard_cases())
+@pytest.mark.parametrize("k", [4, 32])
+def test_bit_exact_vs_golden(name, raw, k):
+    """JAX compress must produce byte-identical blobs to the golden model
+    (same deterministic tie-break => same bits), and each must decode the
+    other's output."""
+    c = JaxCodec(k)
+    ours = c.compress(raw)
+    gold = golden.compress(raw, k)
+    assert ours == gold
+    assert c.decompress(gold) == raw
+    assert golden.decompress(ours, k) == raw
+
+
+@pytest.mark.parametrize("k", [8])
+def test_many_random(k):
+    c = JaxCodec(k)
+    for i, raw in enumerate(many_random(15)):
+        blob = c.compress(raw)
+        assert c.decompress(blob) == raw, f"case {i} len {len(raw)}"
