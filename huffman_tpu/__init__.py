@@ -14,6 +14,10 @@ Format profiles:
     (8, 128)-tile access on TPU; the performance profile.
 """
 
+from .utils.config import setup_compilation_cache as _setup_cache
+
+_setup_cache()
+
 from .constants import MAX_CODE_LEN, NUM_SYMBOLS, STREAM_SLOP
 from .coding import (
     CanonicalCoding,

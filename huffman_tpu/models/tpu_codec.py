@@ -1,8 +1,251 @@
-"""TPU-framed high-throughput codec profile (implemented below, stage 4)."""
+"""TPU-framed high-throughput codec (the ``tpu`` format profile).
+
+The performance profile of the framework.  Differences from the ``ref``
+profile, all motivated by the TPU memory system (no usable per-lane
+gather/scatter — XLA gathers serialize, ~0.1 G/s measured on v5e):
+
+* **K is large** (hundreds to tens of thousands): a TensorCore wants
+  thousands of independent streams where Zen 5's zmm registers cap the
+  reference at 48 (README.md:15-27).
+* **Equal lane slices by zero-padding**: input is padded to ``K*S`` bytes
+  so lane framing is a pure reshape+transpose — no gathers anywhere in the
+  data path.  The pad (< K bytes) is encoded like real data; ``raw_size``
+  trims it on decode.
+* **Lane-transposed word payload**: the in-memory compressed form is a
+  dense (W, K) uint32 matrix — word ``w`` of every lane in one row, forward
+  bit order, MSB-first.  The bit-serial decoder reads it row by row in
+  lockstep.
+* **Exact per-lane bit counts** in the header (the serialized analog of the
+  reference's precomputed end offsets, huffman.cpp:770-786).
+
+Serialized layout (little-endian):
+
+    u32 magic 'HTP2' | u32 raw_size | u32 K | u32 len_mask
+    u8  count[popcount(len_mask)]   (256 wraps to 0, as ref profile)
+    u8  syms[num_syms]
+    pad to 4B | u32 bit_counts[K]
+    u32 words[sum_k ceil(bits_k/32)]   (lane-major compact)
+"""
 
 from __future__ import annotations
 
+import dataclasses
+import functools
+import struct
 
-class TpuCodec:  # placeholder; filled in by the tpu-profile milestone
-    def __init__(self, *a, **kw):
-        raise NotImplementedError("tpu profile lands in the next milestone")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import coding
+from ..constants import MAX_CODE_LEN
+from ..ops import tables
+from ..ops.decode_bits import decode_bitserial, decode_tables_bitserial
+from ..ops.decode_words import pack_u16_words_to_u32
+from ..ops.encode import encode_lanes
+from ..ops.lookup import histogram256
+
+MAGIC = 0x48545032  # 'HTP2'
+
+
+def default_lanes(n: int) -> int:
+    """Lane count heuristic: ~2 KiB per lane, clamped to [256, 32768]."""
+    k = 1 << max(8, min(15, (max(n, 1) // 2048).bit_length()))
+    return k
+
+
+@dataclasses.dataclass
+class TpuCompressed:
+    """In-memory (device-resident) compressed block."""
+
+    words: jax.Array  # (W, K) uint32 lane-transposed payload
+    bit_counts: jax.Array  # (K,) int32
+    raw_size: int
+    k: int
+    coding: coding.CanonicalCoding  # host-side table state
+
+
+@jax.jit
+def _hist_jit(data):
+    return histogram256(data)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "k", "w32"))
+def _encode_jit(data, enc_table, s: int, k: int, w32: int):
+    pad = s * k - data.shape[0]
+    padded = jnp.concatenate([data, jnp.zeros((pad,), jnp.uint8)])
+    b = padded.reshape(k, s).T.astype(jnp.int32)
+    valid = jnp.ones((s, k), bool)
+    words16, word_counts, bit_counts = encode_lanes(b, valid, enc_table)
+    rows = words16.shape[0]
+    if rows < 2 * w32:
+        words16 = jnp.concatenate(
+            [words16, jnp.zeros((2 * w32 - rows, k), words16.dtype)], axis=0
+        )
+    else:
+        words16 = jax.lax.slice_in_dim(words16, 0, 2 * w32, axis=0)
+    words32 = pack_u16_words_to_u32(words16, jnp.minimum(word_counts, 2 * w32))
+    return words32, bit_counts
+
+
+@functools.partial(jax.jit, static_argnames=("s", "n", "group"))
+def _decode_jit(words, bit_counts, e_bound, g_rank, syms, s: int, n: int, group: int):
+    out = decode_bitserial(
+        words, bit_counts, e_bound, g_rank, syms, group=group, out_len=s
+    )
+    return out.T.reshape(-1)[:n]
+
+
+class TpuCodec:
+    """Large-K transposed-payload codec.  Flagship performance path."""
+
+    def __init__(self, k: int | None = None):
+        self.k = k
+
+    def _lanes(self, n: int) -> int:
+        return self.k if self.k is not None else default_lanes(n)
+
+    @property
+    def name(self) -> str:
+        return f"Tpu<{self.k if self.k is not None else 'auto'}>"
+
+    # ---------- device API ----------
+
+    def encode_device(self, data: jax.Array) -> TpuCompressed:
+        """Compress a device-resident uint8 array; stays on device.
+
+        One host sync (histogram -> canonical table build, which is scalar
+        O(256 log 256) work, host-side exactly like the reference's
+        MakeCanonicalCoding, huffman.cpp:339-437)."""
+        n = int(data.shape[0])
+        k = self._lanes(n)
+        if n == 0:
+            return TpuCompressed(
+                words=jnp.zeros((1, k), jnp.uint32),
+                bit_counts=jnp.zeros((k,), jnp.int32),
+                raw_size=0,
+                k=k,
+                coding=coding.make_canonical_coding(np.zeros(256, np.uint32)),
+            )
+        s = -(-n // k)
+        pad = s * k - n
+        hist = np.asarray(_hist_jit(data)).astype(np.uint64)
+        if pad:
+            hist[0] += pad  # zero-padding is encoded like real data
+        cc = coding.make_canonical_coding(hist)
+
+        w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
+        enc_table = jnp.asarray(tables.pack_encode_table(cc).astype(np.int32))
+        words32, bit_counts = _encode_jit(data, enc_table, s, k, w32)
+        return TpuCompressed(words=words32, bit_counts=bit_counts, raw_size=n, k=k, coding=cc)
+
+    def decode_device(self, comp: TpuCompressed) -> jax.Array:
+        """Decompress to a device-resident uint8 array."""
+        n, k = comp.raw_size, comp.k
+        if n == 0:
+            return jnp.zeros(0, jnp.uint8)
+        cc = comp.coding
+        s = -(-n // k)
+        if cc.num_syms <= 1:
+            sym = int(cc.sorted_syms[0]) if cc.num_syms else 0
+            return jnp.full((n,), sym, jnp.uint8)
+        t = decode_tables_bitserial(cc.len_count, cc.sorted_syms)
+        group = max(1, min(t["l_min"], 32))
+        return _decode_jit(
+            comp.words,
+            comp.bit_counts,
+            jnp.asarray(t["e_bound"]),
+            jnp.asarray(t["g_rank"]),
+            jnp.asarray(t["syms"]),
+            s,
+            n,
+            group,
+        )
+
+    # ---------- bytes API ----------
+
+    def compress(self, raw: bytes) -> bytes:
+        comp = self.encode_device(jnp.asarray(np.frombuffer(raw, dtype=np.uint8)))
+        return self.serialize(comp)
+
+    def decompress(self, blob: bytes) -> bytes:
+        comp = self.deserialize(blob)
+        return np.asarray(self.decode_device(comp)).tobytes()
+
+    # ---------- serialization ----------
+
+    def serialize(self, comp: TpuCompressed) -> bytes:
+        cc = comp.coding
+        k = comp.k
+        out = bytearray()
+        out += struct.pack("<IIII", MAGIC, comp.raw_size, k, cc.len_mask)
+        for ln in range(MAX_CODE_LEN + 1):
+            c = int(cc.len_count[ln])
+            if c:
+                out.append(c & 0xFF)
+        out += cc.sorted_syms.tobytes()
+        while len(out) % 4:
+            out.append(0)
+
+        bits = np.asarray(comp.bit_counts).astype(np.int64)
+        out += bits.astype("<u4").tobytes()
+
+        words = np.asarray(comp.words)  # (W, K)
+        wcounts = (bits + 31) // 32
+        total = int(wcounts.sum())
+        lane_of = np.repeat(np.arange(k, dtype=np.int64), wcounts)
+        w_of = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(wcounts)])[:-1], wcounts
+        )
+        flat = words[w_of, lane_of]
+        out += flat.astype("<u4").tobytes()
+        return bytes(out)
+
+    def deserialize(self, blob: bytes) -> TpuCompressed:
+        buf = memoryview(blob)
+        magic, raw_size, k, len_mask = struct.unpack_from("<IIII", buf, 0)
+        assert magic == MAGIC, "not a tpu-profile blob"
+        pos = 16
+        len_count = np.zeros(MAX_CODE_LEN + 1, dtype=np.uint16)
+        one_size = bin(len_mask).count("1") == 1
+        num_syms = 0
+        for ln in range(MAX_CODE_LEN + 1):
+            if len_mask & (1 << ln):
+                c = buf[pos]
+                pos += 1
+                if one_size and c == 0:
+                    c = 256
+                len_count[ln] = c
+                num_syms += c
+        sorted_syms = np.frombuffer(buf[pos : pos + num_syms], dtype=np.uint8).copy()
+        pos += num_syms
+        pos = (pos + 3) & ~3
+        bits = np.frombuffer(buf[pos : pos + 4 * k], dtype="<u4").astype(np.int64)
+        pos += 4 * k
+        flat = np.frombuffer(buf[pos:], dtype="<u4").astype(np.uint32)
+
+        wcounts = (bits + 31) // 32
+        wmax = max(int(wcounts.max()), 1)
+        words = np.zeros((wmax, k), dtype=np.uint32)
+        lane_of = np.repeat(np.arange(k, dtype=np.int64), wcounts)
+        w_of = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(wcounts)])[:-1], wcounts
+        )
+        words[w_of, lane_of] = flat
+
+        code_bits, code_lens = coding.assign_canonical_codes(len_count, sorted_syms)
+        cc = coding.CanonicalCoding(
+            code_bits=code_bits,
+            code_lens=code_lens,
+            sorted_syms=sorted_syms,
+            len_count=len_count,
+            len_mask=len_mask,
+            num_syms=num_syms,
+        )
+        return TpuCompressed(
+            words=jnp.asarray(words),
+            bit_counts=jnp.asarray(bits.astype(np.int32)),
+            raw_size=raw_size,
+            k=k,
+            coding=cc,
+        )

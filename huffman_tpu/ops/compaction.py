@@ -66,3 +66,55 @@ def compact_lanes(values, valid, out_len: int | None = None):
     if out_len is not None:
         vals = [jax.lax.slice_in_dim(x, 0, out_len, axis=0) for x in vals]
     return (tuple(vals) if multi else vals[0]), counts
+
+
+def compact_packed(values, valid, vbits: int, out_len: int | None = None):
+    """Single-array packed variant of `compact_lanes` — the hot-path version.
+
+    Packs ``value+1`` (must fit in ``vbits`` bits) and the remaining leftward
+    displacement into one int32 per slot (0 = empty slot), so each of the
+    log2(T) rounds runs ~6 elementwise ops on ONE array instead of ~18 on
+    three.  This matters because compaction is the dominant cost of the
+    staged-emission kernels (see ops/decode_bits.py).
+
+    Args:
+      values: (T, ...) int32/uint-like, each value < 2**vbits - 1.
+      valid: (T, ...) bool.
+      vbits: static; bits reserved for value+1.  Requires
+        ``vbits + ceil(log2(T)) <= 31``.
+      out_len: static; trim result rows.
+
+    Returns:
+      (vals, counts): vals (out_len or T, ...) int32 with original values
+      (rows >= counts are garbage), counts = valid entries per lane.
+    """
+    T = values.shape[0]
+    rounds = max(1, (T - 1)).bit_length()
+    assert vbits + rounds <= 31, (vbits, T)
+
+    counts = jnp.sum(valid.astype(jnp.int32), axis=0)
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1
+    idx = jax.lax.broadcasted_iota(jnp.int32, valid.shape, 0)
+    d = idx - rank
+    packed = jnp.where(
+        valid, (d << vbits) | (values.astype(jnp.int32) + 1), 0
+    )
+
+    shift = 1
+    zeros_cache = {}
+    while shift < T:
+        pad = zeros_cache.get(shift)
+        if pad is None:
+            pad = jnp.zeros((shift,) + packed.shape[1:], packed.dtype)
+            zeros_cache[shift] = pad
+        xs = jax.lax.slice_in_dim(
+            jnp.concatenate([packed, pad], axis=0), shift, shift + T, axis=0
+        )
+        arrive = ((xs >> vbits) & shift) != 0  # implies xs != 0
+        stay = (packed != 0) & (((packed >> vbits) & shift) == 0)
+        packed = jnp.where(arrive, xs - (shift << vbits), jnp.where(stay, packed, 0))
+        shift <<= 1
+
+    if out_len is not None:
+        packed = jax.lax.slice_in_dim(packed, 0, out_len, axis=0)
+    return (packed & ((1 << vbits) - 1)) - 1, counts

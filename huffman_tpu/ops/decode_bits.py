@@ -1,0 +1,156 @@
+"""Bit-serial lockstep decode — the gather-free TPU decode kernel.
+
+Design (SURVEY.md §7 "hard parts" — the per-lane gathers that bottleneck
+the reference, huffman.cpp:1516-1521 / README.md:129-138, are eliminated
+entirely):
+
+* All K lanes advance **exactly one bit per step**, so at step ``t`` every
+  lane is at bit ``t`` of *its own* stream.  With the lane-transposed word
+  payload, the input for 32 consecutive steps is ONE dense (K,) row — no
+  per-lane addressing exists anywhere in the loop.
+* Canonical-code emit detection is a single compare: a prefix of length
+  ``l`` (held left-aligned in a 12-bit window ``w``) is a complete code iff
+  ``w < E[l]``, where ``E[l]`` is the cumulative code-space boundary.
+  ``E[l]`` is carried as a per-lane register updated by a constant-table
+  select — no decode table, no gather (same family of tricks as the
+  reference's comparison-based AVX Permute decoder, huffman.cpp:1697-1722,
+  reborn as pure vector arithmetic).
+* Variable-rate output is staged densely (the packed window value at the
+  step it completed) and compacted per lane with `compact_packed`.
+* Symbol resolution happens **after** compaction, once per symbol instead
+  of once per bit: code length and rank arithmetically, then
+  rank -> byte through the MXU (`lookup256`).
+
+The minimum code length ``l_min`` (static, from the table) lets groups of
+``l_min`` consecutive bit-steps share one staging slot — at most one emit
+can occur per group — shrinking the compaction input by that factor.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .compaction import compact_packed
+from .lookup import lookup256
+
+from ..constants import MAX_CODE_LEN
+
+_I32 = jnp.int32
+
+
+def decode_tables_bitserial(len_count, sorted_syms):
+    """Host: constant arrays for the bit-serial decoder.
+
+    Returns dict of numpy arrays:
+      e_bound: (MAX+2,) int32 — E[l] = sum_{j<=l} len_count[j] << (MAX-j);
+        a prefix w (left-aligned) of length l is a code iff w < E[l].
+      g_rank: (MAX+1,) int32 — rank = (w >> (MAX-l)) + g_rank[l].
+      syms: (256,) int32 — rank -> symbol (padded past num_syms).
+      l_min: int — shortest code length (>=1; caller must special-case the
+        degenerate single-symbol length-0 coding).
+    """
+    import numpy as np
+
+    lc = np.asarray(len_count, dtype=np.int64)
+    e = np.zeros(MAX_CODE_LEN + 2, dtype=np.int64)
+    base = np.zeros(MAX_CODE_LEN + 1, dtype=np.int64)  # codes shorter than l
+    acc = 0
+    nshorter = 0
+    for l in range(MAX_CODE_LEN + 1):
+        base[l] = nshorter
+        acc += int(lc[l]) << (MAX_CODE_LEN - l)
+        e[l] = acc
+        nshorter += int(lc[l])
+    e[MAX_CODE_LEN + 1] = acc
+    # first code of length l, left-aligned, is E[l-1]; rank offset:
+    g = np.zeros(MAX_CODE_LEN + 1, dtype=np.int64)
+    for l in range(1, MAX_CODE_LEN + 1):
+        g[l] = base[l] - (e[l - 1] >> (MAX_CODE_LEN - l))
+    syms = np.zeros(256, dtype=np.int32)
+    ns = len(sorted_syms)
+    syms[:ns] = np.asarray(sorted_syms, dtype=np.int32)
+    nonzero = np.nonzero(lc[1:])[0]
+    l_min = int(nonzero[0]) + 1 if len(nonzero) else 1
+    return {
+        "e_bound": e.astype(np.int32),
+        "g_rank": g.astype(np.int32),
+        "syms": syms,
+        "l_min": l_min,
+    }
+
+
+def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, out_len: int):
+    """Decode K lanes, one bit per lane per step.
+
+    Args:
+      words: (W, K) uint32 — lane-transposed payload, forward bit order,
+        MSB-first; bits past ``bit_counts[k]`` must decode harmlessly (they
+        are masked from emitting).
+      bit_counts: (K,) int32 — valid bits per lane.
+      e_bound: (14,) int32 constant (`decode_tables_bitserial`).
+      g_rank: (13,) int32 constant.
+      syms: (256,) int32 constant rank->symbol.
+      group: static int in [1, 32]; must be <= l_min of the coding.  Each
+        group of ``group`` bit-steps shares one staging slot.
+      out_len: static; output rows (>= max symbols per lane).
+
+    Returns:
+      out: (out_len, K) uint8 decoded bytes (rows past the lane's symbol
+        count are garbage).
+    """
+    W, K = words.shape
+    slots = -(-32 // group)  # staging slots per 32-bit word
+
+    def step(carry, word):
+        w, l, e_reg, bits_left = carry
+        slot_val = [jnp.zeros((K,), jnp.uint16)] * slots
+        for j in range(32):
+            bit = ((word >> (31 - j)) & 1).astype(_I32)
+            # Live lanes have l <= MAX-1 here (a 12-bit prefix always emits);
+            # exhausted lanes may run l past that — clamp the shift.
+            w = w | (bit << jnp.maximum(MAX_CODE_LEN - 1 - l, 0))
+            l = l + 1
+            emit = (w < e_reg) & (bits_left > j)
+            s = j // group
+            slot_val[s] = jnp.where(
+                emit, (w | 0x8000).astype(jnp.uint16), slot_val[s]
+            )
+            # Advance the boundary register: on emit restart at length 1,
+            # else move to E[l+1].  Constant-select chain — NOT a gather.
+            nxt = jnp.broadcast_to(e_bound[2], l.shape)
+            for jj in range(2, MAX_CODE_LEN + 1):
+                nxt = jnp.where(l == jj, e_bound[jj + 1], nxt)
+            e_reg = jnp.where(emit, e_bound[1], nxt)
+            w = jnp.where(emit, 0, w)
+            l = jnp.where(emit, 0, l)
+        bits_left = bits_left - 32
+        return (w, l, e_reg, bits_left), jnp.stack(slot_val)
+
+    init = (
+        jnp.zeros((K,), _I32),
+        jnp.zeros((K,), _I32),
+        jnp.broadcast_to(e_bound[1], (K,)).astype(_I32),
+        bit_counts,
+    )
+    _, staged = jax.lax.scan(step, init, words)  # (W, slots, K) uint16
+    staged = staged.reshape(W * slots, K)
+
+    valid = (staged & 0x8000) != 0
+    wvals = (staged & 0x0FFF).astype(_I32)
+    codes, _counts = compact_packed(wvals, valid, vbits=13, out_len=out_len)
+
+    # Post-pass, per symbol: length, rank, byte.
+    lw = 1 + jnp.sum(
+        codes[..., None] >= e_bound[1:MAX_CODE_LEN][None, None, :], axis=-1
+    )
+    g = jnp.sum(
+        jnp.where(
+            lw[..., None] == jnp.arange(1, MAX_CODE_LEN + 1)[None, None, :],
+            g_rank[1:][None, None, :],
+            0,
+        ),
+        axis=-1,
+    )
+    rank = (codes >> (MAX_CODE_LEN - lw)) + g
+    return lookup256(rank, syms).astype(jnp.uint8)

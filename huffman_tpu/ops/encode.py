@@ -1,12 +1,16 @@
-"""Lane-parallel encode kernel (pure XLA).
+"""Lane-parallel encode kernel (pure XLA, gather-free).
 
-K independent streams encode in lockstep: one scan over byte-steps, where
-step ``s`` appends the code for byte ``s`` of *every* lane into per-lane
-32-bit accumulators and emits a 16-bit word per lane whenever one fills.
-This is the reference's stream-major hot loop (codec/huffman.cpp:825-843)
-turned inside-out for a vector machine with thousands of lanes: instead of
-K=8 pointer-chasing writers, emission is staged densely (one slot per step)
-and compacted per lane afterwards — no per-lane scatters anywhere.
+K independent streams encode in lockstep: one scan over byte-steps; step
+``s`` appends the code for byte ``s`` of every lane into per-lane 32-bit
+accumulators and emits a 16-bit word per lane whenever one fills.  This is
+the reference's stream-major hot loop (codec/huffman.cpp:825-843) turned
+inside out for a vector machine with thousands of lanes:
+
+* the per-byte code lookup is a nibble-factored one-hot matmul
+  (`ops.lookup.lookup256`) — XLA gathers serialize on TPU, MXU matmuls
+  don't;
+* emission is staged densely (one slot per byte-step) and compacted per
+  lane afterwards (`ops.compaction.compact_packed`) — no per-lane scatters.
 
 Bit semantics match the wire format exactly: codes are appended MSB-first;
 emitted 16-bit words hold stream bits in forward order (bit 15 first).
@@ -17,7 +21,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .compaction import compact_lanes
+from .compaction import compact_packed
+from .lookup import lookup256
 
 _U32 = jnp.uint32
 
@@ -27,29 +32,31 @@ def encode_lanes(byte_matrix, valid, enc_table):
 
     Args:
       byte_matrix: (S, K) int32 — byte s of each lane's slice (dense,
-        transposed layout; garbage where not valid).
-      valid: (S, K) bool — real input bytes (lanes may differ in length by 1).
-      enc_table: (256,) uint32 packed ``code<<4 | len``.
+        transposed layout).
+      valid: (S, K) bool — real input bytes (False rows append nothing).
+      enc_table: (256,) int32 packed ``code<<4 | len`` (code 12-bit
+        left-aligned).
 
     Returns:
-      words: (S+1, K) uint16 — per-lane compacted stream words, forward bit
-        order, MSB-first; rows >= word_counts are garbage.
+      words: (S+1, K) int32 (uint16 range) — per-lane compacted stream
+        words, forward bit order, MSB-first; rows >= word_counts garbage.
       word_counts: (K,) int32.
-      bit_counts: (K,) int32 — exact stream bit length per lane (drives the
-        byte-exact region sizing, same trick as huffman.cpp:770-786).
+      bit_counts: (K,) int32 — exact stream bit length per lane (drives
+        byte-exact sizing, the huffman.cpp:770-786 trick).
     """
     S, K = byte_matrix.shape
+    assert S + 1 < (1 << 14), "lane slice too long for packed compaction"
 
-    entries = jnp.where(valid, jnp.take(enc_table, byte_matrix, axis=0), 0)
+    entries = jnp.where(valid, lookup256(byte_matrix, enc_table), 0)
 
     def step(carry, e):
         acc, nbits = carry  # acc: u32 left-aligned bit buffer; nbits: i32
         code = (e >> 4).astype(_U32)  # 12-bit left-aligned code value
-        ln = (e & 15).astype(jnp.int32)
+        ln = e & 15
         acc = acc | (code << (20 - nbits).astype(_U32))
         nbits = nbits + ln
         emit = nbits >= 16
-        word = (acc >> 16).astype(jnp.uint16)
+        word = (acc >> 16).astype(jnp.int32)
         acc = jnp.where(emit, acc << 16, acc)
         nbits = jnp.where(emit, nbits - 16, nbits)
         return (acc, nbits), (word, emit)
@@ -59,20 +66,20 @@ def encode_lanes(byte_matrix, valid, enc_table):
     (acc, nbits), (words, emits) = jax.lax.scan(step, (acc0, nb0), entries)
 
     # Tail: flush remaining bits (zero-padded at the low end of the word).
-    tail_word = (acc >> 16).astype(jnp.uint16)[None]
+    tail_word = (acc >> 16).astype(jnp.int32)[None]
     tail_emit = (nbits > 0)[None]
     words = jnp.concatenate([words, tail_word], axis=0)
     emits = jnp.concatenate([emits, tail_emit], axis=0)
 
-    lens = (entries & 15).astype(jnp.int32)
-    bit_counts = jnp.sum(lens, axis=0)
+    bit_counts = jnp.sum(entries & 15, axis=0)
 
-    compacted, word_counts = compact_lanes(words, emits)
+    compacted, word_counts = compact_packed(words, emits, vbits=17)
     return compacted, word_counts, bit_counts
 
 
 def words_to_byte_columns(words):
-    """(W, K) u16 forward words -> (2W, K) u8 forward stream bytes."""
-    hi = (words >> 8).astype(jnp.uint8)
-    lo = (words & 0xFF).astype(jnp.uint8)
+    """(W, K) u16-valued forward words -> (2W, K) u8 forward stream bytes."""
+    w = words.astype(jnp.int32)
+    hi = (w >> 8).astype(jnp.uint8)
+    lo = (w & 0xFF).astype(jnp.uint8)
     return jnp.stack([hi, lo], axis=1).reshape(2 * words.shape[0], words.shape[1])

@@ -1,0 +1,1 @@
+"""Utilities: config, debug helpers, tracing."""

@@ -1,0 +1,37 @@
+"""Framework configuration.
+
+The reference's "config system" is compile-time template parameters and
+#defines (SURVEY.md §5); here configuration is runtime but still explicit:
+environment variables read once at import.
+
+HUFFMAN_TPU_CACHE_DIR   persistent XLA compilation-cache directory
+                        (default /tmp/jax_cache_huffman_tpu, "" disables).
+                        The codec kernels are large scan programs whose TPU
+                        compiles can take minutes; the cache makes every
+                        process after the first start instantly.
+"""
+
+from __future__ import annotations
+
+import os
+
+_INITIALIZED = False
+
+
+def setup_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache (idempotent)."""
+    global _INITIALIZED
+    if _INITIALIZED:
+        return
+    _INITIALIZED = True
+    cache_dir = os.environ.get("HUFFMAN_TPU_CACHE_DIR", "/tmp/jax_cache_huffman_tpu")
+    if not cache_dir:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older/newer jax flag drift
+        pass

@@ -1,0 +1,39 @@
+"""Exactness tests for the matmul-based lookup/histogram primitives."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from huffman_tpu.ops.lookup import lookup256, histogram256
+
+
+def test_lookup256_exact_all_values():
+    rng = np.random.default_rng(0)
+    tab = rng.integers(0, 1 << 16, size=256).astype(np.int32)  # full u16 range
+    idx = np.arange(256, dtype=np.int32)
+    got = np.asarray(jax.jit(lookup256)(jnp.asarray(idx), jnp.asarray(tab)))
+    np.testing.assert_array_equal(got, tab[idx])
+
+
+def test_lookup256_2d_shapes():
+    rng = np.random.default_rng(1)
+    tab = rng.integers(0, 65536, size=256).astype(np.int32)
+    idx = rng.integers(0, 256, size=(37, 53)).astype(np.int32)
+    got = np.asarray(jax.jit(lookup256)(jnp.asarray(idx), jnp.asarray(tab)))
+    np.testing.assert_array_equal(got, tab[idx])
+
+
+def test_histogram256_matches_bincount():
+    rng = np.random.default_rng(2)
+    for n in [0, 1, 999, 100_000]:
+        d = rng.integers(0, 256, size=n).astype(np.uint8)
+        got = np.asarray(jax.jit(histogram256)(jnp.asarray(d)))
+        np.testing.assert_array_equal(got, np.bincount(d, minlength=256))
+
+
+def test_histogram256_skewed():
+    d = np.zeros(200_000, dtype=np.uint8)
+    d[::7] = 255
+    got = np.asarray(jax.jit(histogram256)(jnp.asarray(d)))
+    np.testing.assert_array_equal(got, np.bincount(d, minlength=256))

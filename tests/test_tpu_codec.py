@@ -1,0 +1,72 @@
+"""TPU-profile codec: round-trip, serialization, and content parity."""
+
+import numpy as np
+import pytest
+
+from huffman_tpu.models.tpu_codec import TpuCodec
+from huffman_tpu import golden
+
+from corpus import standard_cases, biased_proba
+
+
+@pytest.mark.parametrize("name,raw", standard_cases())
+@pytest.mark.parametrize("k", [16, 128])
+def test_round_trip(name, raw, k):
+    c = TpuCodec(k)
+    blob = c.compress(raw)
+    assert c.decompress(blob) == raw
+
+
+@pytest.mark.parametrize("k", [64])
+def test_device_round_trip_no_serialization(k):
+    import jax.numpy as jnp
+
+    raw = biased_proba(n=32 << 10)
+    c = TpuCodec(k)
+    comp = c.encode_device(jnp.asarray(np.frombuffer(raw, dtype=np.uint8)))
+    out = np.asarray(c.decode_device(comp)).tobytes()
+    assert out == raw
+
+
+def test_compressed_bits_match_oracle():
+    """Per-lane bit counts must equal the host oracle's histogram x lens
+    over the equal (zero-padded) lane slicing."""
+    raw = biased_proba(n=16 << 10)
+    k = 32
+    c = TpuCodec(k)
+    import jax.numpy as jnp
+
+    comp = c.encode_device(jnp.asarray(np.frombuffer(raw, dtype=np.uint8)))
+    bits_tpu = np.asarray(comp.bit_counts).astype(np.int64)
+
+    from huffman_tpu import coding
+
+    n = len(raw)
+    s = -(-n // k)
+    data = np.zeros(s * k, dtype=np.uint8)
+    data[:n] = np.frombuffer(raw, dtype=np.uint8)
+    cc = coding.make_canonical_coding(coding.histogram(data))
+    lens = cc.code_lens.astype(np.int64)
+    bits_ref = np.array([int(lens[data[i * s : (i + 1) * s]].sum()) for i in range(k)])
+    np.testing.assert_array_equal(bits_tpu, bits_ref)
+
+
+def test_serialization_stable():
+    raw = biased_proba(n=8 << 10)
+    c = TpuCodec(16)
+    blob = c.compress(raw)
+    comp = c.deserialize(blob)
+    assert c.serialize(comp) == blob
+
+
+def test_auto_lane_count_round_trip():
+    raw = biased_proba(n=40_000)
+    c = TpuCodec()  # auto K
+    assert c.decompress(c.compress(raw)) == raw
+
+
+def test_k_read_from_blob():
+    raw = b"hello world, hello huffman" * 20
+    blob = TpuCodec(16).compress(raw)
+    # decoding with a differently-configured codec works: K is in the header
+    assert TpuCodec(32).decompress(blob) == raw
