@@ -1,0 +1,80 @@
+"""Benchmark: flagship TPU codec round-trip throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GiB/s", "vs_baseline": N}
+
+Workload: the reference's headline *biased* distribution
+(GenerateProbaData(0.2), huffman_benchmark.cpp:27-36) at TPU batch scale.
+Baseline: the reference's best-per-direction biased numbers on a Ryzen
+9950X — 2988 MiB/s compress (Permute/16) and 5026 MiB/s decompress
+(Gather/32), i.e. a combined round-trip rate of
+1/(1/2988 + 1/5026) = 1874 MiB/s = 1.830 GiB/s  (BASELINE.md).
+``value`` is our combined rate; ``vs_baseline`` = value / 1.830.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _biased_bytes(n: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    return rng.choice(256, size=n, p=p).astype(np.uint8)
+
+
+REF_COMBINED_GIB_S = 1.830
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from huffman_tpu.models.tpu_codec import TpuCodec
+
+    n = 4 << 20
+    data = _biased_bytes(n)
+    d = jax.device_put(jnp.asarray(data))
+
+    codec = TpuCodec()
+    comp = codec.encode_device(d)
+    out = codec.decode_device(comp)
+    out.block_until_ready()
+    assert np.array_equal(np.asarray(out), data), "round-trip mismatch"
+
+    def time_it(fn, reps=5):
+        fn()  # warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_c = time_it(lambda: codec.encode_device(d).words.block_until_ready())
+    t_d = time_it(lambda: codec.decode_device(comp).block_until_ready())
+
+    combined = n / (t_c + t_d) / (1 << 30)
+    print(
+        json.dumps(
+            {
+                "metric": "biased 4MiB compress+decompress round-trip, 1 chip",
+                "value": round(combined, 4),
+                "unit": "GiB/s",
+                "vs_baseline": round(combined / REF_COMBINED_GIB_S, 4),
+                "detail": {
+                    "compress_GiB_s": round(n / t_c / (1 << 30), 4),
+                    "decompress_GiB_s": round(n / t_d / (1 << 30), 4),
+                    "ratio": round(
+                        n / (int(np.asarray(comp.bit_counts).sum()) / 8), 4
+                    ),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -13,9 +13,11 @@ construction and therefore the same limits.
 # byte-compatible.
 MAX_CODE_LEN = 12
 
-# Length assigned by the unconstrained Huffman build can be up to ~32 before
-# limiting (codec/huffman.cpp:41-42).
-MAX_OPTIMAL_CODE_LEN = 32
+# Length assigned by the unconstrained Huffman build before limiting.  The
+# reference assumes <= 32 (codec/huffman.cpp:41-42), which adversarially
+# skewed histograms (Fibonacci-like counts) can exceed; 64 is safe for any
+# 64-bit total count.
+MAX_OPTIMAL_CODE_LEN = 64
 
 # Per-stream slop appended to every stream region so 8-byte-wide writers and
 # readers may overhang safely (codec/huffman.cpp:770 ``kSlop``).

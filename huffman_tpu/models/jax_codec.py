@@ -62,8 +62,12 @@ class JaxCodec:
     def compress(self, raw: bytes) -> bytes:
         n = len(raw)
         k = self.k
-        if n == 0 or n < 4 * k:
-            # Tiny inputs: device launch overhead dwarfs any win.
+        if n == 0 or n < 4 * k or n > 4096 * k:
+            # Tiny inputs: device launch overhead dwarfs any win.  Very long
+            # slices (tiny K vs input, a ref-parity configuration, not a TPU
+            # one): a lockstep scan would serialize ~n/k steps for almost no
+            # lane parallelism — the host golden codec is faster and emits
+            # identical bytes.
             return golden.compress(raw, k)
         data = jnp.asarray(np.frombuffer(raw, dtype=np.uint8))
         hist = device_histogram(data)
@@ -105,7 +109,7 @@ class JaxCodec:
         n = h.raw_size
         if n == 0:
             return b""
-        if n < 4 * k:
+        if n < 4 * k or n > 4096 * k:
             return golden.decompress(blob, k)
         dec_table = jnp.asarray(tables.pack_decode_table(h.len_count, h.sorted_syms))
         sizes_np = fmt.slice_sizes(n, k)

@@ -8,15 +8,16 @@ entirely):
   lane is at bit ``t`` of *its own* stream.  With the lane-transposed word
   payload, the input for 32 consecutive steps is ONE dense (K,) row — no
   per-lane addressing exists anywhere in the loop.
-* Canonical-code emit detection is a single compare: a prefix of length
-  ``l`` (held left-aligned in a 12-bit window ``w``) is a complete code iff
-  ``w < E[l]``, where ``E[l]`` is the cumulative code-space boundary.
-  ``E[l]`` is carried as a per-lane register updated by a constant-table
-  select — no decode table, no gather (same family of tricks as the
-  reference's comparison-based AVX Permute decoder, huffman.cpp:1697-1722,
-  reborn as pure vector arithmetic).
-* Variable-rate output is staged densely (the packed window value at the
-  step it completed) and compacted per lane with `compact_packed`.
+* Countdown formulation: at every bit position the 12-bit lookahead window
+  and the code length that *would* start there are computed independently
+  of the serial state (pure feed-forward work the compiler can pipeline
+  across bits); the only loop-carried value is a per-lane countdown ``c``
+  to the next symbol boundary — 3 ops deep per bit.  Code-length detection
+  is the canonical-boundary compare ``len = 1 + #{l : window >= E[l]}``
+  (the reference's comparison-based AVX Permute decode idea,
+  huffman.cpp:1697-1722, reborn as pure vector arithmetic).
+* Variable-rate output is staged densely (the lookahead window at the step
+  a symbol starts) and compacted per lane with `compact_packed`.
 * Symbol resolution happens **after** compaction, once per symbol instead
   of once per bit: code length and rank arithmetically, then
   rank -> byte through the MXU (`lookup256`).
@@ -85,8 +86,8 @@ def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, ou
 
     Args:
       words: (W, K) uint32 — lane-transposed payload, forward bit order,
-        MSB-first; bits past ``bit_counts[k]`` must decode harmlessly (they
-        are masked from emitting).
+        MSB-first; bits past ``bit_counts[k]`` must be zero (the encoder
+        zero-pads) and are masked from emitting.
       bit_counts: (K,) int32 — valid bits per lane.
       e_bound: (14,) int32 constant (`decode_tables_bitserial`).
       g_rank: (13,) int32 constant.
@@ -97,43 +98,43 @@ def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, ou
 
     Returns:
       out: (out_len, K) uint8 decoded bytes (rows past the lane's symbol
-        count are garbage).
+      count are garbage).
     """
     W, K = words.shape
     slots = -(-32 // group)  # staging slots per 32-bit word
 
-    def step(carry, word):
-        w, l, e_reg, bits_left = carry
-        slot_val = [jnp.zeros((K,), jnp.uint16)] * slots
+    # Native (sublane, lane) tiling when K allows it.
+    lanes_shape = (K // 128, 128) if K % 128 == 0 and K >= 1024 else (K,)
+    w2 = words.reshape((W,) + lanes_shape)
+    nxt = jnp.concatenate([w2[1:], jnp.zeros((1,) + lanes_shape, w2.dtype)], 0)
+    bits0 = bit_counts.reshape(lanes_shape)
+
+    eb = [e_bound[l] for l in range(1, MAX_CODE_LEN)]  # scalars E[1..11]
+
+    def step(carry, rows):
+        c, bits_left = carry
+        cur, nx = rows
+        slot_val = [jnp.zeros(lanes_shape, jnp.uint16)] * slots
         for j in range(32):
-            bit = ((word >> (31 - j)) & 1).astype(_I32)
-            # Live lanes have l <= MAX-1 here (a 12-bit prefix always emits);
-            # exhausted lanes may run l past that — clamp the shift.
-            w = w | (bit << jnp.maximum(MAX_CODE_LEN - 1 - l, 0))
-            l = l + 1
-            emit = (w < e_reg) & (bits_left > j)
+            if j == 0:
+                win = (cur >> 20).astype(_I32)
+            else:
+                win = (((cur << j) | (nx >> (32 - j))) >> 20).astype(_I32)
+            # Length of the code starting at this bit: canonical-boundary
+            # compares — feed-forward, off the serial path.
+            ln = jnp.ones(lanes_shape, _I32)
+            for e in eb:
+                ln = ln + (win >= e).astype(_I32)
+            boundary = (c == 0) & (bits_left > j)
             s = j // group
             slot_val[s] = jnp.where(
-                emit, (w | 0x8000).astype(jnp.uint16), slot_val[s]
+                boundary, (win | 0x8000).astype(jnp.uint16), slot_val[s]
             )
-            # Advance the boundary register: on emit restart at length 1,
-            # else move to E[l+1].  Constant-select chain — NOT a gather.
-            nxt = jnp.broadcast_to(e_bound[2], l.shape)
-            for jj in range(2, MAX_CODE_LEN + 1):
-                nxt = jnp.where(l == jj, e_bound[jj + 1], nxt)
-            e_reg = jnp.where(emit, e_bound[1], nxt)
-            w = jnp.where(emit, 0, w)
-            l = jnp.where(emit, 0, l)
-        bits_left = bits_left - 32
-        return (w, l, e_reg, bits_left), jnp.stack(slot_val)
+            c = jnp.where(boundary, ln - 1, c - 1)
+        return (c, bits_left - 32), jnp.stack(slot_val)
 
-    init = (
-        jnp.zeros((K,), _I32),
-        jnp.zeros((K,), _I32),
-        jnp.broadcast_to(e_bound[1], (K,)).astype(_I32),
-        bit_counts,
-    )
-    _, staged = jax.lax.scan(step, init, words)  # (W, slots, K) uint16
+    init = (jnp.zeros(lanes_shape, _I32), bits0)
+    _, staged = jax.lax.scan(step, init, (w2, nxt))  # (W, slots, *lanes)
     staged = staged.reshape(W * slots, K)
 
     valid = (staged & 0x8000) != 0
@@ -153,4 +154,10 @@ def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, ou
         axis=-1,
     )
     rank = (codes >> (MAX_CODE_LEN - lw)) + g
+    # Rows with no staged emit carry code -1.  For a normal coding every row
+    # < out_len is a real symbol, so this never fires; for the degenerate
+    # single-symbol coding (zero-length codes, zero payload bits) NO row
+    # emits, and clamping to rank 0 yields the most-frequent == only symbol.
+    # This lets one jitted pipeline handle degenerate blocks with no branch.
+    rank = jnp.where(codes < 0, 0, rank)
     return lookup256(rank, syms).astype(jnp.uint8)

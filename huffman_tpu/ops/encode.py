@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .compaction import compact_packed
+from .compaction import compact_lanes, compact_packed
 from .lookup import lookup256
 
 _U32 = jnp.uint32
@@ -45,7 +45,6 @@ def encode_lanes(byte_matrix, valid, enc_table):
         byte-exact sizing, the huffman.cpp:770-786 trick).
     """
     S, K = byte_matrix.shape
-    assert S + 1 < (1 << 14), "lane slice too long for packed compaction"
 
     entries = jnp.where(valid, lookup256(byte_matrix, enc_table), 0)
 
@@ -73,7 +72,12 @@ def encode_lanes(byte_matrix, valid, enc_table):
 
     bit_counts = jnp.sum(entries & 15, axis=0)
 
-    compacted, word_counts = compact_packed(words, emits, vbits=17)
+    if S + 1 < (1 << 14):
+        compacted, word_counts = compact_packed(words, emits, vbits=17)
+    else:
+        # Long lane slices (small K): displacement no longer fits next to a
+        # 17-bit value in an int32, so use the unpacked multi-array variant.
+        compacted, word_counts = compact_lanes(words, emits)
     return compacted, word_counts, bit_counts
 
 

@@ -73,7 +73,9 @@ def histogram256(data_u8):
     n = x.shape[0]
     # Chunk so f32 accumulation stays exact (integer sums < 2**24) on inputs
     # of any size; one-hot entries are 0/1 so bf16 MXU inputs are exact.
-    chunk = 1 << 22
+    # Adaptive: small inputs use one right-sized chunk instead of padding to
+    # the maximum (padding IS counted work for the one-hot matmul).
+    chunk = min(1 << 22, max(512, -(-n // 512) * 512))
     pad = (-n) % chunk
     if pad:
         # Pad with value 256 -> one-hot rows of all zeros (never counted).

@@ -1,0 +1,251 @@
+"""Jittable on-device canonical Huffman table construction.
+
+The host builder (:mod:`huffman_tpu.coding`) mirrors the reference's scalar
+``MakeCanonicalCoding`` (codec/huffman.cpp:339-437).  This module is the
+device-resident equivalent: a pure-JAX, fully jittable histogram -> tables
+pipeline, so the complete compress step (histogram, table build, encode) can
+run as ONE compiled program with zero host syncs — something the reference
+cannot express at all (its table build is interleaved host code).
+
+That matters on TPU for two reasons:
+  * a sharded pipeline can ``psum`` per-shard histograms and build the shared
+    table *inside* the same ``shard_map`` step (the distributed analog of the
+    reference's histogram-merge loop, huffman.cpp:762-766);
+  * streaming/batched compression never bounces to the host between blocks.
+
+Algorithm notes
+---------------
+Tree build uses the Moffat–Katajainen in-place two-queue construction over
+weights sorted ascending; its tie rule (pop a leaf when weights are equal)
+matches the reference's ``sym_count[sym] <= tree_count[next]``
+(huffman.cpp:379) and the host builder, so all three produce identical
+``len_count`` — verified against the host oracle in
+tests/test_table_build.py.
+
+Leaf depths are never collected by traversal: with ``I[d]`` = number of
+*internal* nodes at depth ``d`` (from pointer-doubled parent depths),
+``len_count[d] = 2*I[d-1] - I[d]`` — each internal node at ``d-1`` has two
+children, and the non-internal ones are exactly the leaves.
+
+Length limiting is the same "MiniZ" Kraft repair as the host/reference
+(huffman.cpp:294-327), as a ``lax.while_loop``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import MAX_CODE_LEN, NUM_SYMBOLS
+
+_I32 = jnp.int32
+_N = NUM_SYMBOLS
+# Upper bound on unlimited code depth: int32 weights (< 2^30) keep optimal
+# depth far below 64 (Fibonacci growth); 64 buckets is safely conservative.
+_MAX_DEPTH = 64
+# Weight sentinel for empty queue slots.  All arithmetic is int32 (x64 is
+# disabled under jit and TPUs want 32-bit lanes), so total input size per
+# table must stay < 2^30 bytes — far above any realistic block.
+_BIG = jnp.int32(1) << 30
+
+
+def _sort_by_freq(hist):
+    """(present-first symbol order, counts in that order, num_syms).
+
+    Deterministic tie-break identical to the host builder
+    (coding.make_canonical_coding): frequency descending, symbol ascending.
+    Absent symbols sort after all present ones, by symbol value.  A stable
+    argsort over ``-count`` gives exactly this, since the input index order
+    IS symbol order.
+    """
+    h = hist.astype(_I32)
+    key = jnp.where(h > 0, -h, jnp.int32(1))
+    order = jnp.argsort(key, stable=True).astype(_I32)
+    syms_by_freq = order
+    counts_desc = h[order]
+    num_syms = jnp.sum((h > 0).astype(_I32))
+    return syms_by_freq, counts_desc, num_syms
+
+
+def _huffman_len_count(counts_desc, num_syms):
+    """len_count (unlimited) from counts sorted descending.
+
+    Moffat–Katajainen in-place algorithm, phases 1-2, then the I[d]
+    recurrence above instead of phase 3.
+    """
+    n = num_syms
+    # Ascending weights, active leaves in a[0:n]; inactive slots get +inf
+    # sentinels so static-shape code never picks them.
+    big = _BIG
+    asc = counts_desc[::-1]  # absent symbols (count 0) land at the front
+    a0 = jnp.roll(asc, -(_N - n))  # a0[0:n] ascending actives
+    a0 = jnp.where(jnp.arange(_N) < n, a0, big)
+
+    # Phase 1: a[i] becomes (weight then parent-index) of internal node i;
+    # n-1 internal nodes total.  leaf/root are queue cursors.
+    def pop(state, nxt):
+        a, leaf, root = state
+        leaf_w = a[jnp.clip(leaf, 0, _N - 1)]
+        leaf_w = jnp.where(leaf < n, leaf_w, _BIG)
+        root_w = a[jnp.clip(root, 0, _N - 1)]
+        take_tree = (root < nxt) & (root_w < leaf_w)
+        w = jnp.where(take_tree, root_w, leaf_w)
+        # Mark consumed internal node with its parent index later; phase 1
+        # stores parent links by overwriting the consumed tree slot.
+        a = jnp.where(take_tree, a.at[jnp.clip(root, 0, _N - 1)].set(nxt), a)
+        leaf = jnp.where(take_tree, leaf, leaf + 1)
+        root = jnp.where(take_tree, root + 1, root)
+        return (a, leaf, root), w
+
+    def phase1_step(i, st):
+        a, leaf, root = st
+        (a, leaf, root), w1 = pop((a, leaf, root), i)
+        (a, leaf, root), w2 = pop((a, leaf, root), i)
+        a = a.at[i].set(w1 + w2)
+        return (a, leaf, root)
+
+    n_internal = jnp.maximum(n - 1, 0)
+    a, _, _ = jax.lax.fori_loop(
+        0, n_internal, phase1_step, (a0, jnp.int32(0), jnp.int32(0))
+    )
+
+    # Phase 2: internal-node depths.  After phase 1, slots 0..n-3 hold parent
+    # indices (each < n-1, pointing at a later slot); slot n-2 is the root.
+    # Pointer-doubling: depth(i) = #hops to root.  log2(256) = 8 rounds.
+    idx = jnp.arange(_N, dtype=_I32)
+    parent = jnp.where(idx < n_internal - 1, a[:_N].astype(_I32), idx)
+    # Only slots < n-1 are internal nodes; give the rest self-parents.
+    parent = jnp.where(idx < n_internal, parent, idx)
+    parent = jnp.clip(parent, 0, _N - 1)
+    depth = jnp.where((idx < n_internal - 1), 1, 0).astype(_I32)
+    for _ in range(8):
+        depth = depth + depth[parent]
+        parent = parent[parent]
+
+    # I[d] = # internal nodes at depth d (root included at d=0).
+    is_internal = idx < n_internal
+    i_of_d = jnp.sum(
+        jnp.where(
+            is_internal[None, :],
+            (depth[None, :] == jnp.arange(_MAX_DEPTH)[:, None]).astype(_I32),
+            0,
+        ),
+        axis=1,
+    )
+    len_count = jnp.concatenate(
+        [jnp.zeros(1, _I32), 2 * i_of_d[:-1] - i_of_d[1:]]
+    )
+    len_count = jnp.maximum(len_count, 0)
+    # Degenerate cases: n == 1 -> one zero-length code; n == 0 -> nothing.
+    one_hot0 = (jnp.arange(_MAX_DEPTH) == 0).astype(_I32)
+    len_count = jnp.where(n == 1, one_hot0, len_count)
+    len_count = jnp.where(n == 0, 0, len_count)
+    return len_count  # (_MAX_DEPTH,) int32
+
+
+def _limit_len_count(len_count):
+    """Kraft repair capping lengths at MAX_CODE_LEN (huffman.cpp:294-327)."""
+    lc = len_count.astype(_I32)
+    over = jnp.sum(jnp.where(jnp.arange(_MAX_DEPTH) > MAX_CODE_LEN, lc, 0))
+    lc = lc.at[MAX_CODE_LEN].add(over)
+    lc = jnp.where(jnp.arange(_MAX_DEPTH) <= MAX_CODE_LEN, lc, 0)[
+        : MAX_CODE_LEN + 1
+    ]
+    ls = jnp.arange(MAX_CODE_LEN + 1)
+    one = jnp.int32(1) << MAX_CODE_LEN
+    kraft = jnp.sum(lc << (MAX_CODE_LEN - ls))
+
+    def cond(st):
+        lc, kraft = st
+        return kraft > one
+
+    def body(st):
+        lc, kraft = st
+        lc = lc.at[MAX_CODE_LEN].add(-1)
+        # Largest j < MAX_CODE_LEN with lc[j] > 0.
+        j = jnp.max(jnp.where((lc > 0) & (ls < MAX_CODE_LEN), ls, -1))
+        j = jnp.clip(j, 0, MAX_CODE_LEN - 1)
+        lc = lc.at[j].add(-1).at[j + 1].add(2)
+        return lc, kraft - 1
+
+    lc, _ = jax.lax.while_loop(cond, body, (lc, kraft))
+    return lc.astype(_I32)  # (MAX_CODE_LEN+1,)
+
+
+@jax.jit
+def build_coding_device(hist):
+    """Histogram -> full coding state, entirely on device.
+
+    Args:
+      hist: (256,) integer byte counts.  Contract: TOTAL count < 2^30
+        (weight sums run in int32) — always true for per-block histograms,
+        which is what this builder is for.  The host builder handles
+        arbitrary 64-bit histograms.
+
+    Returns dict of device arrays:
+      enc_table: (256,) int32 ``code<<4 | len`` (code left-aligned in
+        MAX_CODE_LEN bits) — input for ops.encode.encode_lanes.
+      len_count: (MAX_CODE_LEN+1,) int32.
+      sorted_syms: (256,) int32; first num_syms entries meaningful
+        (length asc, freq desc, symbol asc — wire order).
+      num_syms: () int32.
+      e_bound: (MAX_CODE_LEN+2,) int32 and g_rank: (MAX_CODE_LEN+1,) int32
+        — the bit-serial decode constants (ops.decode_bits).
+      l_min: () int32 — shortest code length (1 if empty/degenerate).
+    """
+    syms_by_freq, counts_desc, num_syms = _sort_by_freq(hist)
+    len_count = _limit_len_count(_huffman_len_count(counts_desc, num_syms))
+
+    # After limiting, lengths still ascend as frequency descends, so the
+    # freq-sorted symbol order IS the canonical wire order (see
+    # coding.make_canonical_coding).
+    ls = jnp.arange(MAX_CODE_LEN + 1, dtype=_I32)
+    cum = jnp.cumsum(len_count)  # codes with length <= l
+    # Rank i (0-based among num_syms) gets length: 1 + #{l : cum[l] <= i}.
+    i = jnp.arange(_N, dtype=_I32)
+    lens_ranked = jnp.sum((i[:, None] >= cum[None, :]).astype(_I32), axis=1)
+    lens_ranked = jnp.clip(lens_ranked, 0, MAX_CODE_LEN)
+
+    # E[l] = sum_{j<=l} len_count[j] << (MAX-j), the canonical boundary.
+    e = jnp.cumsum(len_count << (MAX_CODE_LEN - ls))
+    e_prev_of = jnp.concatenate([jnp.zeros(1, _I32), e])  # E[l-1] at index l
+    base_of = jnp.concatenate([jnp.zeros(1, _I32), cum])  # #shorter at l
+
+    lr = lens_ranked
+    code_ranked = e_prev_of[lr] + (
+        (i - base_of[lr]) << (MAX_CODE_LEN - lr)
+    )
+    valid = i < num_syms
+    entry_ranked = jnp.where(
+        valid, (code_ranked << 4) | lens_ranked, 0
+    ).astype(_I32)
+
+    enc_table = jnp.zeros(_N, _I32).at[syms_by_freq].set(entry_ranked)
+
+    # Bit-serial decode constants (mirrors ops.decode_bits.decode_tables_*).
+    e_bound = jnp.concatenate([e, e[-1:]]).astype(_I32)
+    e_full = jnp.concatenate([jnp.zeros(1, _I32), e_bound[:-1]])  # E[l-1]
+    g_rank = (
+        base_of[: MAX_CODE_LEN + 1]
+        - (e_prev_of[: MAX_CODE_LEN + 1] >> (MAX_CODE_LEN - ls))
+    ).astype(_I32)
+    del e_full
+
+    has_l = len_count[1:] > 0
+    l_min = jnp.min(
+        jnp.where(has_l, jnp.arange(1, MAX_CODE_LEN + 1, dtype=_I32), 99)
+    )
+    l_min = jnp.where(l_min == 99, 1, l_min)
+
+    return {
+        "enc_table": enc_table,
+        "len_count": len_count,
+        "sorted_syms": syms_by_freq,
+        "num_syms": num_syms,
+        "e_bound": e_bound,
+        "g_rank": g_rank,
+        "l_min": l_min,
+    }

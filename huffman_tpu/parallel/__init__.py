@@ -1,0 +1,9 @@
+"""Multi-chip parallelism: mesh construction and the sharded block codec."""
+
+from .sharded import (
+    ShardedCodec,
+    make_mesh,
+    sharded_roundtrip,
+)
+
+__all__ = ["ShardedCodec", "make_mesh", "sharded_roundtrip"]

@@ -1,0 +1,173 @@
+"""Data/stream-parallel block codec over a ``jax.sharding.Mesh``.
+
+The reference is strictly single-core (SURVEY.md §2: no threads, no NCCL);
+its only parallelism is K in-core streams.  This module adds the two device
+axes a TPU pod gives us, as one fully-jitted ``shard_map`` step:
+
+* ``data`` axis — independent blocks, embarrassingly parallel (the "new: DP
+  over blocks" row of SURVEY.md §2's parallelism table).
+* ``stream`` axis — the K lanes of a *single* block sharded across chips.
+  All shards must agree on one shared code table, so per-shard histograms
+  are ``psum``-reduced over ``stream`` (the distributed analog of the
+  reference's histogram-merge loop, codec/huffman.cpp:762-766) and every
+  shard runs the identical device table build (replicated compute instead
+  of a host broadcast — the table build is O(256 log 256)).
+
+Because the table builder itself is jittable (ops/table_build.py), the
+entire histogram -> psum -> table -> encode -> decode step compiles to ONE
+XLA program: zero host syncs, collectives riding ICI.
+
+Layout: a block's lane framing is ``bytes.reshape(K, S)`` — lane k owns a
+contiguous S-byte slice — so sharding the byte axis of ``(B, N)`` input
+over ``stream`` IS lane sharding; no resharding collective is needed on
+either side of the step.
+
+Per-lane exact bit counts (the huffman.cpp:770-786 sizing trick) come back
+sharded the same way, so global serialization offsets need only a tiny
+all-gather of per-shard counts, never a payload reshuffle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..constants import MAX_CODE_LEN
+from ..ops.decode_bits import decode_bitserial
+from ..ops.decode_words import pack_u16_words_to_u32
+from ..ops.encode import encode_lanes
+from ..ops.lookup import histogram256
+from ..ops.table_build import build_coding_device
+
+
+def make_mesh(devices=None, axis_names=("data", "stream"), stream=1) -> Mesh:
+    """Mesh over all (or given) devices: ``data`` × ``stream``.
+
+    ``stream`` divides the device count; the rest goes to ``data``.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    assert n % stream == 0, (n, stream)
+    return Mesh(devices.reshape(n // stream, stream), axis_names)
+
+
+def _block_encode(block_bytes, k_local, s):
+    """One block shard: (n_local,) u8 -> per-lane words + bit counts + hist."""
+    b = block_bytes.reshape(k_local, s).T.astype(jnp.int32)
+    hist = histogram256(block_bytes)
+    return b, hist
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "k", "s", "w32", "group")
+)
+def sharded_roundtrip(data, *, mesh, k, s, w32, group=1):
+    """Fully-jitted sharded compress+decompress step.
+
+    Args:
+      data: (B, N) uint8, N = k*s, sharded (or shardable) as
+        ``P('data', 'stream')``.
+      mesh: the ('data', 'stream') Mesh (static).
+      k: total lanes per block; k % mesh.shape['stream'] == 0.
+      s: bytes per lane.
+      w32: static payload words per lane (>= ceil(s*MAX_CODE_LEN/32)+1 for
+        worst case; smaller only if the data is known compressible).
+      group: static staging-group width for the bit-serial decoder (1 is
+        always safe).
+
+    Returns:
+      decoded: (B, N) uint8 — must equal ``data``.
+      bit_counts: (B, k) int32 exact compressed bits per lane.
+      words: (B, w32, k) uint32 lane-transposed payload shards.
+    """
+    n_stream = mesh.shape["stream"]
+    k_local = k // n_stream
+
+    def step(blocks):  # blocks: (B_local, k_local * s) u8
+        def one(block):
+            byte_mat = block.reshape(k_local, s).T.astype(jnp.int32)
+            hist = histogram256(block)
+            # Shared table: reduce per-shard histograms across the lanes of
+            # this block (huffman.cpp:762-766, distributed).
+            hist = jax.lax.psum(hist, "stream")
+            t = build_coding_device(hist)
+
+            valid = jnp.ones((s, k_local), bool)
+            words16, word_counts, bit_counts = encode_lanes(
+                byte_mat, valid, t["enc_table"]
+            )
+            rows = words16.shape[0]
+            if rows < 2 * w32:
+                words16 = jnp.concatenate(
+                    [words16, jnp.zeros((2 * w32 - rows, k_local), words16.dtype)]
+                )
+            else:
+                words16 = jax.lax.slice_in_dim(words16, 0, 2 * w32, axis=0)
+            words32 = pack_u16_words_to_u32(
+                words16, jnp.minimum(word_counts, 2 * w32)
+            )
+
+            out = decode_bitserial(
+                words32,
+                bit_counts,
+                t["e_bound"],
+                t["g_rank"],
+                t["sorted_syms"],
+                group=group,
+                out_len=s,
+            )
+            return out.T.reshape(-1), bit_counts, words32
+
+        return jax.vmap(one)(blocks)
+
+    spec_in = P("data", "stream")
+    out, bits, words = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(spec_in,),
+        out_specs=(spec_in, P("data", "stream"), P("data", None, "stream")),
+        # The table-build loops mix psum'd (stream-invariant) carries with
+        # literals; vma inference rejects that even though it is correct.
+        check_vma=False,
+    )(data)
+    return out, bits, words
+
+
+class ShardedCodec:
+    """Block-data-parallel codec facade for multi-chip runs.
+
+    Splits an input byte stream into fixed-size blocks, shards them over the
+    mesh, and runs the one-program roundtrip/encode step.  Host-side
+    serialization walks the (already exact) per-lane bit counts, so framing
+    adds no device syncs beyond fetching results.
+    """
+
+    def __init__(self, mesh=None, block_bytes=1 << 20, k=4096):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.block_bytes = block_bytes
+        self.k = k
+        assert block_bytes % k == 0
+        self.s = block_bytes // k
+
+    def roundtrip(self, data: np.ndarray):
+        """Pad to whole blocks, run the sharded step, return decoded bytes."""
+        n = data.shape[0]
+        bb = self.block_bytes
+        nb = -(-max(n, 1) // bb)
+        d_axis = self.mesh.shape["data"]
+        nb = -(-nb // d_axis) * d_axis  # whole blocks per data shard
+        padded = np.zeros(nb * bb, np.uint8)
+        padded[:n] = data
+        blocks = jnp.asarray(padded.reshape(nb, bb))
+        sharding = NamedSharding(self.mesh, P("data", "stream"))
+        blocks = jax.device_put(blocks, sharding)
+        w32 = (self.s * MAX_CODE_LEN + 31) // 32 + 1
+        out, bits, words = sharded_roundtrip(
+            blocks, mesh=self.mesh, k=self.k, s=self.s, w32=w32
+        )
+        return np.asarray(out).reshape(-1)[:n], bits, words

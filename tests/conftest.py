@@ -7,7 +7,12 @@ anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment selects a TPU platform
+# (JAX_PLATFORMS=axon): the suite needs 8 virtual devices for sharding
+# tests, and must not monopolize the real chip benchmarks run on.
+# sitecustomize may have imported jax already (so the env var alone is
+# ineffective), but backends initialize lazily — config.update still wins.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,3 +23,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # kernels; caching makes re-runs fast.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_huffman_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
