@@ -2,11 +2,11 @@
 
 The performance profile of the framework.  Differences from the ``ref``
 profile, all motivated by the TPU memory system (no usable per-lane
-gather/scatter — XLA gathers serialize, ~0.1 G/s measured on v5e):
+gather/scatter across HBM — XLA gathers serialize):
 
-* **K is large** (hundreds to tens of thousands): a TensorCore wants
-  thousands of independent streams where Zen 5's zmm registers cap the
-  reference at 48 (README.md:15-27).
+* **K is large** (thousands): a TensorCore wants thousands of independent
+  streams where Zen 5's zmm registers cap the reference at 48
+  (README.md:15-27).
 * **Equal lane slices by zero-padding**: input is padded to ``K*S`` bytes
   so lane framing is a pure reshape+transpose — no gathers anywhere in the
   data path.  The pad (< K bytes) is encoded like real data; ``raw_size``
@@ -17,6 +17,15 @@ gather/scatter — XLA gathers serialize, ~0.1 G/s measured on v5e):
   lockstep.
 * **Exact per-lane bit counts** in the header (the serialized analog of the
   reference's precomputed end offsets, huffman.cpp:770-786).
+* **Zero host syncs on encode**: histogram, canonical table construction
+  (ops/table_build.py), encoding, and packing compile into one program.
+  Host metadata (max bits, l_min) is fetched lazily, once, on first use.
+
+On TPU backends with K % 1024 == 0 the hot paths run as fused Pallas
+kernels (ops/encode_pallas.py, ops/decode_pallas.py); everywhere else the
+pure-XLA kernels (ops/encode.py, ops/decode_bits.py) produce bit-identical
+results — the TPU analog of the reference's scalar/AVX shared format
+(README.md:91-94).
 
 Serialized layout (little-endian):
 
@@ -39,18 +48,31 @@ import numpy as np
 
 from .. import coding
 from ..constants import MAX_CODE_LEN
-from ..ops import tables
 from ..ops.decode_bits import decode_bitserial, decode_tables_bitserial
+from ..ops.decode_pallas import decode_bitserial_pallas
 from ..ops.decode_words import pack_u16_words_to_u32
 from ..ops.encode import encode_lanes
+from ..ops.encode_pallas import encode_lanes_pallas
 from ..ops.lookup import histogram256
+from ..ops.table_build import build_coding_device
 
 MAGIC = 0x48545032  # 'HTP2'
 
 
+def _pallas_ok(k: int) -> bool:
+    return jax.default_backend() != "cpu" and k % 1024 == 0
+
+
 def default_lanes(n: int) -> int:
-    """Lane count heuristic: ~2 KiB per lane, clamped to [256, 32768]."""
-    k = 1 << max(8, min(15, (max(n, 1) // 2048).bit_length()))
+    """Lane count heuristic: ~128 B per lane, clamped to [1024, 2**17].
+
+    S (bytes per lane) near 128 keeps the decode word loop short and the
+    fused kernels inside VMEM; inputs beyond 16 MiB grow S instead (the
+    kernels guard and fall back, so prefer block framing above that).
+    """
+    if n <= 0:
+        return 1024
+    k = 1 << max(10, min(17, (-(-n // 128)).bit_length() - 1))
     return k
 
 
@@ -62,21 +84,64 @@ class TpuCompressed:
     bit_counts: jax.Array  # (K,) int32
     raw_size: int
     k: int
-    coding: coding.CanonicalCoding  # host-side table state
+    tables: dict  # device table state (build_coding_device layout)
+    _meta: dict | None = None  # lazy host metadata
+
+    def meta(self) -> dict:
+        """Host metadata (one device sync, cached)."""
+        if self._meta is None:
+            bits = np.asarray(self.bit_counts)
+            lc = np.asarray(self.tables["len_count"])
+            nz = np.nonzero(lc[1:])[0]
+            self._meta = {
+                "max_bits": int(bits.max()) if bits.size else 0,
+                "l_min": int(nz[0]) + 1 if len(nz) else 1,
+                "num_syms": int(np.asarray(self.tables["num_syms"])),
+                "len_count": lc,
+                "sorted_syms": np.asarray(self.tables["sorted_syms"]),
+            }
+        return self._meta
+
+    @property
+    def coding(self) -> coding.CanonicalCoding:
+        """Host CanonicalCoding reconstructed from the device tables."""
+        m = self.meta()
+        num_syms = m["num_syms"]
+        sorted_syms = m["sorted_syms"][:num_syms].astype(np.uint8)
+        len_count = m["len_count"].astype(np.uint16)
+        code_bits, code_lens = coding.assign_canonical_codes(len_count, sorted_syms)
+        len_mask = 0
+        for ln in range(MAX_CODE_LEN + 1):
+            if len_count[ln]:
+                len_mask |= 1 << ln
+        return coding.CanonicalCoding(
+            code_bits=code_bits,
+            code_lens=code_lens,
+            sorted_syms=sorted_syms,
+            len_count=len_count,
+            len_mask=len_mask,
+            num_syms=num_syms,
+        )
 
 
-@jax.jit
-def _hist_jit(data):
-    return histogram256(data)
-
-
-@functools.partial(jax.jit, static_argnames=("s", "k", "w32"))
-def _encode_jit(data, enc_table, s: int, k: int, w32: int):
+@functools.partial(jax.jit, static_argnames=("s", "k", "w32", "use_pallas"))
+def _encode_full(data, s: int, k: int, w32: int, use_pallas: bool):
+    """Fully-device compress: histogram -> table -> encode -> pack."""
     pad = s * k - data.shape[0]
     padded = jnp.concatenate([data, jnp.zeros((pad,), jnp.uint8)])
-    b = padded.reshape(k, s).T.astype(jnp.int32)
-    valid = jnp.ones((s, k), bool)
-    words16, word_counts, bit_counts = encode_lanes(b, valid, enc_table)
+    hist = histogram256(padded)
+    t = build_coding_device(hist)
+
+    b2 = padded.reshape(k, s).T.astype(jnp.int32)
+    if use_pallas:
+        w3, bits3 = encode_lanes_pallas(b2.reshape(s, k // 128, 128), t["enc_table"])
+        words16 = w3.reshape(w3.shape[0], k)
+        bit_counts = bits3.reshape(k)
+        word_counts = (bit_counts + 15) >> 4
+    else:
+        valid = jnp.ones((s, k), bool)
+        words16, word_counts, bit_counts = encode_lanes(b2, valid, t["enc_table"])
+
     rows = words16.shape[0]
     if rows < 2 * w32:
         words16 = jnp.concatenate(
@@ -85,14 +150,32 @@ def _encode_jit(data, enc_table, s: int, k: int, w32: int):
     else:
         words16 = jax.lax.slice_in_dim(words16, 0, 2 * w32, axis=0)
     words32 = pack_u16_words_to_u32(words16, jnp.minimum(word_counts, 2 * w32))
-    return words32, bit_counts
+    return words32, bit_counts, t
 
 
-@functools.partial(jax.jit, static_argnames=("s", "n", "group"))
-def _decode_jit(words, bit_counts, e_bound, g_rank, syms, s: int, n: int, group: int):
-    out = decode_bitserial(
-        words, bit_counts, e_bound, g_rank, syms, group=group, out_len=s
-    )
+@functools.partial(jax.jit, static_argnames=("s", "n", "group", "w"))
+def _decode_full(words, e_bound, g_rank, syms, s: int, n: int, group: int, w: int):
+    k = words.shape[1]
+    slots = -(-32 // group)
+    # Staged rows bound the fused kernel's VMEM footprint (~3 live copies
+    # of (T, 8, 128) int32); beyond ~1024 rows use the XLA pipeline.
+    if _pallas_ok(k) and 0 < w and w * slots <= 1024:
+        w3 = jax.lax.slice_in_dim(words, 0, w, axis=0).reshape(w, k // 128, 128)
+        out3 = decode_bitserial_pallas(
+            w3, e_bound, g_rank, syms, group=group, out_len=s
+        )
+        out = out3.reshape(s, k).astype(jnp.uint8)
+    else:
+        wt = jax.lax.slice_in_dim(words, 0, max(w, 1), axis=0)
+        out = decode_bitserial(
+            wt,
+            jnp.zeros((k,), jnp.int32),
+            e_bound,
+            g_rank,
+            syms,
+            group=group,
+            out_len=s,
+        )
     return out.T.reshape(-1)[:n]
 
 
@@ -114,52 +197,55 @@ class TpuCodec:
     def encode_device(self, data: jax.Array) -> TpuCompressed:
         """Compress a device-resident uint8 array; stays on device.
 
-        One host sync (histogram -> canonical table build, which is scalar
-        O(256 log 256) work, host-side exactly like the reference's
-        MakeCanonicalCoding, huffman.cpp:339-437)."""
+        The whole pipeline (histogram, canonical table build — the device
+        equivalent of the reference's MakeCanonicalCoding, huffman.cpp:339-
+        437 — encode, word packing) is ONE jitted program with no host
+        syncs."""
         n = int(data.shape[0])
         k = self._lanes(n)
         if n == 0:
+            t = {key: jnp.asarray(v) for key, v in _EMPTY_TABLES.items()}
             return TpuCompressed(
                 words=jnp.zeros((1, k), jnp.uint32),
                 bit_counts=jnp.zeros((k,), jnp.int32),
                 raw_size=0,
                 k=k,
-                coding=coding.make_canonical_coding(np.zeros(256, np.uint32)),
+                tables=t,
             )
         s = -(-n // k)
-        pad = s * k - n
-        hist = np.asarray(_hist_jit(data)).astype(np.uint64)
-        if pad:
-            hist[0] += pad  # zero-padding is encoded like real data
-        cc = coding.make_canonical_coding(hist)
-
         w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
-        enc_table = jnp.asarray(tables.pack_encode_table(cc).astype(np.int32))
-        words32, bit_counts = _encode_jit(data, enc_table, s, k, w32)
-        return TpuCompressed(words=words32, bit_counts=bit_counts, raw_size=n, k=k, coding=cc)
+        # The fused encode kernel's working set is ~16 int32 (S, 8, 128)
+        # arrays per grid step; above S=256 it exceeds the 16 MiB VMEM.
+        use_pallas = _pallas_ok(k) and 2 <= s <= 256
+        words32, bit_counts, t = _encode_full(data, s, k, w32, use_pallas)
+        return TpuCompressed(
+            words=words32, bit_counts=bit_counts, raw_size=n, k=k, tables=t
+        )
 
     def decode_device(self, comp: TpuCompressed) -> jax.Array:
-        """Decompress to a device-resident uint8 array."""
+        """Decompress to a device-resident uint8 array.
+
+        First call on a block fetches its host metadata (one sync, cached
+        on the TpuCompressed); repeated decodes are sync-free."""
         n, k = comp.raw_size, comp.k
         if n == 0:
             return jnp.zeros(0, jnp.uint8)
-        cc = comp.coding
+        m = comp.meta()
         s = -(-n // k)
-        if cc.num_syms <= 1:
-            sym = int(cc.sorted_syms[0]) if cc.num_syms else 0
+        if m["num_syms"] <= 1:
+            sym = int(m["sorted_syms"][0]) if m["num_syms"] else 0
             return jnp.full((n,), sym, jnp.uint8)
-        t = decode_tables_bitserial(cc.len_count, cc.sorted_syms)
-        group = max(1, min(t["l_min"], 32))
-        return _decode_jit(
+        group = max(1, min(m["l_min"], 32))
+        w = (m["max_bits"] + 31) // 32
+        return _decode_full(
             comp.words,
-            comp.bit_counts,
-            jnp.asarray(t["e_bound"]),
-            jnp.asarray(t["g_rank"]),
-            jnp.asarray(t["syms"]),
+            comp.tables["e_bound"],
+            comp.tables["g_rank"],
+            comp.tables["sorted_syms"],
             s,
             n,
             group,
+            w,
         )
 
     # ---------- bytes API ----------
@@ -233,19 +319,37 @@ class TpuCodec:
         )
         words[w_of, lane_of] = flat
 
-        code_bits, code_lens = coding.assign_canonical_codes(len_count, sorted_syms)
-        cc = coding.CanonicalCoding(
-            code_bits=code_bits,
-            code_lens=code_lens,
-            sorted_syms=sorted_syms,
-            len_count=len_count,
-            len_mask=len_mask,
-            num_syms=num_syms,
-        )
+        t = decode_tables_bitserial(len_count, sorted_syms)
+        syms256 = np.zeros(256, np.int32)
+        syms256[:num_syms] = sorted_syms
+        tables = {
+            "e_bound": jnp.asarray(t["e_bound"]),
+            "g_rank": jnp.asarray(t["g_rank"]),
+            "sorted_syms": jnp.asarray(syms256),
+            "len_count": jnp.asarray(len_count.astype(np.int32)),
+            "num_syms": jnp.asarray(num_syms, jnp.int32),
+        }
+        meta = {
+            "max_bits": int(bits.max()) if k else 0,
+            "l_min": t["l_min"],
+            "num_syms": num_syms,
+            "len_count": len_count.astype(np.int32),
+            "sorted_syms": syms256,
+        }
         return TpuCompressed(
             words=jnp.asarray(words),
             bit_counts=jnp.asarray(bits.astype(np.int32)),
             raw_size=raw_size,
             k=k,
-            coding=cc,
+            tables=tables,
+            _meta=meta,
         )
+
+
+_EMPTY_TABLES = {
+    "e_bound": np.zeros(MAX_CODE_LEN + 2, np.int32),
+    "g_rank": np.zeros(MAX_CODE_LEN + 1, np.int32),
+    "sorted_syms": np.zeros(256, np.int32),
+    "len_count": np.zeros(MAX_CODE_LEN + 1, np.int32),
+    "num_syms": np.zeros((), np.int32),
+}

@@ -87,8 +87,11 @@ def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, ou
     Args:
       words: (W, K) uint32 — lane-transposed payload, forward bit order,
         MSB-first; bits past ``bit_counts[k]`` must be zero (the encoder
-        zero-pads) and are masked from emitting.
-      bit_counts: (K,) int32 — valid bits per lane.
+        zero-pads).  Padding bits decode as garbage symbols AFTER the
+        lane's real S symbols and fall past ``out_len`` in the stable
+        compaction, so no per-bit masking is needed at all.
+      bit_counts: (K,) int32 — valid bits per lane (unused in the hot loop;
+        kept for interface stability / debugging).
       e_bound: (14,) int32 constant (`decode_tables_bitserial`).
       g_rank: (13,) int32 constant.
       syms: (256,) int32 constant rank->symbol.
@@ -107,12 +110,11 @@ def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, ou
     lanes_shape = (K // 128, 128) if K % 128 == 0 and K >= 1024 else (K,)
     w2 = words.reshape((W,) + lanes_shape)
     nxt = jnp.concatenate([w2[1:], jnp.zeros((1,) + lanes_shape, w2.dtype)], 0)
-    bits0 = bit_counts.reshape(lanes_shape)
 
     eb = [e_bound[l] for l in range(1, MAX_CODE_LEN)]  # scalars E[1..11]
 
     def step(carry, rows):
-        c, bits_left = carry
+        c = carry
         cur, nx = rows
         slot_val = [jnp.zeros(lanes_shape, jnp.uint16)] * slots
         for j in range(32):
@@ -125,15 +127,15 @@ def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, ou
             ln = jnp.ones(lanes_shape, _I32)
             for e in eb:
                 ln = ln + (win >= e).astype(_I32)
-            boundary = (c == 0) & (bits_left > j)
+            boundary = c == 0
             s = j // group
             slot_val[s] = jnp.where(
                 boundary, (win | 0x8000).astype(jnp.uint16), slot_val[s]
             )
             c = jnp.where(boundary, ln - 1, c - 1)
-        return (c, bits_left - 32), jnp.stack(slot_val)
+        return c, jnp.stack(slot_val)
 
-    init = (jnp.zeros(lanes_shape, _I32), bits0)
+    init = jnp.zeros(lanes_shape, _I32)
     _, staged = jax.lax.scan(step, init, (w2, nxt))  # (W, slots, *lanes)
     staged = staged.reshape(W * slots, K)
 
@@ -154,10 +156,10 @@ def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, ou
         axis=-1,
     )
     rank = (codes >> (MAX_CODE_LEN - lw)) + g
-    # Rows with no staged emit carry code -1.  For a normal coding every row
-    # < out_len is a real symbol, so this never fires; for the degenerate
-    # single-symbol coding (zero-length codes, zero payload bits) NO row
-    # emits, and clamping to rank 0 yields the most-frequent == only symbol.
-    # This lets one jitted pipeline handle degenerate blocks with no branch.
-    rank = jnp.where(codes < 0, 0, rank)
+    # For a normal coding every row < out_len is a real symbol and rank is
+    # in range.  The degenerate single-symbol coding (zero-length codes)
+    # produces rank -1 both for its zero-window emits and for empty rows;
+    # clamping to 0 yields the most-frequent == only symbol, so one jitted
+    # pipeline handles degenerate blocks with no branch.
+    rank = jnp.clip(rank, 0, 255)
     return lookup256(rank, syms).astype(jnp.uint8)

@@ -1,0 +1,168 @@
+"""Fused Pallas TPU decode kernel: bit-scan + compaction + symbol lookup.
+
+One kernel pass replaces the whole XLA decode pipeline of
+:mod:`huffman_tpu.ops.decode_bits` (scan -> staged HBM array ->
+compaction -> post-pass).  Motivation, measured on v5e:
+
+* ``lax.scan`` costs ~5 us per step in loop overhead; the kernel's
+  unrolled word loop runs the same arithmetic at VPU issue rate
+  (~8x faster for the scan stage).
+* every intermediate (staged emits, compaction rounds) stays in VMEM —
+  zero HBM round-trips between stages;
+* the final rank -> symbol step uses Mosaic's native lane gather
+  (``take_along_axis`` on the 128-lane axis, ~75 G lookups/s), not the
+  one-hot MXU fallback.
+
+The algorithm is identical to the XLA path (same countdown formulation,
+same staged-slot invariants, same canonical-compare length detection — the
+reference's huffman.cpp:1697-1722 idea); tests cross-check the two paths
+bit-for-bit in interpret mode and the codec round-trips on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import MAX_CODE_LEN
+
+_I32 = jnp.int32
+_BLK = 8  # sublane-groups (x128 lanes) per grid step
+
+
+def _shift_down(x, rows):
+    """x shifted down-to-front by `rows` along axis 0, zero-filled tail."""
+    t = x.shape[0]
+    rolled = pltpu.roll(x, t - rows, 0)  # == roll by -rows (must be >= 0)
+    idx = jax.lax.broadcasted_iota(_I32, x.shape, 0)
+    return jnp.where(idx < t - rows, rolled, 0)
+
+
+def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
+    slots = -(-32 // group)
+    T = t_rows
+    shape = (_BLK, 128)
+
+    def kernel(scal_ref, w_ref, syms_ref, out_ref, st_ref):
+        eb = [scal_ref[0, l] for l in range(1, MAX_CODE_LEN)]
+
+        # ---- Stage 1: lockstep bit scan ----
+        c = jnp.zeros(shape, _I32)
+        for w in range(w_rows):
+            cur = w_ref[w]
+            nx = (
+                w_ref[w + 1]
+                if w + 1 < w_rows
+                else jnp.zeros(shape, jnp.uint32)
+            )
+            svals = [jnp.zeros(shape, _I32)] * slots
+            for j in range(32):
+                if j == 0:
+                    win = (cur >> 20).astype(_I32)
+                else:
+                    win = (((cur << j) | (nx >> (32 - j))) >> 20).astype(_I32)
+                ln = jnp.ones(shape, _I32)
+                for e in eb:
+                    ln = ln + (win >= e).astype(_I32)
+                boundary = c == 0
+                sl = j // group
+                svals[sl] = jnp.where(boundary, win | 0x8000, svals[sl])
+                c = jnp.where(boundary, ln - 1, c - 1)
+            for sl in range(slots):
+                st_ref[w * slots + sl] = svals[sl]
+
+        # ---- Stage 2: stable per-lane compaction (displacement rounds) ----
+        staged = st_ref[:]
+        valid = staged >> 15
+        # Inclusive prefix sum of valid along rows (log rounds).
+        pref = valid
+        sh = 1
+        while sh < T:
+            rolled = pltpu.roll(pref, sh, 0)
+            idx = jax.lax.broadcasted_iota(_I32, pref.shape, 0)
+            pref = pref + jnp.where(idx >= sh, rolled, 0)
+            sh <<= 1
+        row = jax.lax.broadcasted_iota(_I32, staged.shape, 0)
+        disp = row - (pref - 1)  # displacement toward the front
+        # Pack: disp<<13 | (win+1); invalid rows 0.
+        packed = jnp.where(
+            valid == 1, (disp << 13) | ((staged & 0x0FFF) + 1), 0
+        )
+        sh = 1
+        while sh < T:
+            xs = _shift_down(packed, sh)
+            arrive = ((xs >> 13) & sh) != 0
+            stay = (packed != 0) & (((packed >> 13) & sh) == 0)
+            packed = jnp.where(
+                arrive, xs - (sh << 13), jnp.where(stay, packed, 0)
+            )
+            sh <<= 1
+
+        codes = (packed[:out_len] & 0x1FFF) - 1  # (out_len, BLK, 128)
+
+        # ---- Stage 3: length, rank, symbol ----
+        lw = jnp.ones(codes.shape, _I32)
+        for e in eb:
+            lw = lw + (codes >= e).astype(_I32)
+        g = jnp.zeros(codes.shape, _I32)
+        for l in range(1, MAX_CODE_LEN + 1):
+            g = jnp.where(lw == l, scal_ref[0, 16 + l], g)
+        # Arithmetic shift keeps empty-row codes (-1) negative so the clip
+        # lands them on rank 0 (degenerate single-symbol handling).
+        rank = (codes >> (MAX_CODE_LEN - lw)) + g
+        rank = jnp.clip(rank, 0, 255)
+
+        lo = jnp.broadcast_to(syms_ref[0:1, :], (out_len * _BLK, 128))
+        hi = jnp.broadcast_to(syms_ref[1:2, :], (out_len * _BLK, 128))
+        r2 = rank.reshape(out_len * _BLK, 128)
+        a = jnp.take_along_axis(lo, r2 & 127, axis=1)
+        b = jnp.take_along_axis(hi, r2 & 127, axis=1)
+        out_ref[:] = jnp.where(r2 < 128, a, b).reshape(out_len, _BLK, 128)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "out_len")
+)
+def decode_bitserial_pallas(words3, e_bound, g_rank, syms, *, group: int, out_len: int):
+    """Fused TPU decode.
+
+    Args:
+      words3: (W, KR, 128) uint32 lane-transposed payload (KR = K/128,
+        KR % 8 == 0).
+      e_bound, g_rank, syms: decode constants (`decode_tables_bitserial`).
+      group: static staging group (<= l_min).
+      out_len: static symbols per lane.
+
+    Returns:
+      (out_len, KR, 128) int32 decoded byte values.
+    """
+    W, KR, _ = words3.shape
+    slots = -(-32 // group)
+    t_rows = W * slots
+
+    scal = jnp.zeros((1, 32), _I32)
+    scal = scal.at[0, :14].set(e_bound.astype(_I32))
+    scal = scal.at[0, 16 : 16 + 13].set(g_rank.astype(_I32))
+    syms2 = syms.astype(_I32).reshape(2, 128)
+
+    kernel = _make_decode_kernel(W, group, out_len, t_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(KR // _BLK,),
+        in_specs=[
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((W, _BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (out_len, _BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_len, KR, 128), _I32),
+        scratch_shapes=[pltpu.VMEM((t_rows, _BLK, 128), _I32)],
+    )(scal, words3, syms2)

@@ -1,16 +1,21 @@
-"""Lane-parallel encode kernel (pure XLA, gather-free).
+"""Lane-parallel encode kernel (pure XLA, gather-free, scan-free).
 
-K independent streams encode in lockstep: one scan over byte-steps; step
-``s`` appends the code for byte ``s`` of every lane into per-lane 32-bit
-accumulators and emits a 16-bit word per lane whenever one fills.  This is
-the reference's stream-major hot loop (codec/huffman.cpp:825-843) turned
-inside out for a vector machine with thousands of lanes:
+K independent streams encode in lockstep.  This is the reference's
+stream-major hot loop (codec/huffman.cpp:825-843) re-derived for a vector
+machine with thousands of lanes:
 
 * the per-byte code lookup is a nibble-factored one-hot matmul
   (`ops.lookup.lookup256`) — XLA gathers serialize on TPU, MXU matmuls
   don't;
-* emission is staged densely (one slot per byte-step) and compacted per
-  lane afterwards (`ops.compaction.compact_packed`) — no per-lane scatters.
+* bit-packing is NOT a serial accumulator loop.  Every output bit position
+  is known in advance: a parallel prefix sum of code lengths gives each
+  byte's bit offset (the same determinism the reference exploits to
+  precompute exact stream sizes, huffman.cpp:770-786 — applied per symbol
+  instead of per stream).  Each 16-bit-left-aligned code then splits into
+  at most two word-aligned pieces, and pieces land in their target words
+  via log2(S) rounds of monotone shift-plus-OR — dense VPU work, no
+  scatters, no ``lax.scan`` (whose ~5 us/step overhead dominated the old
+  serial version).
 
 Bit semantics match the wire format exactly: codes are appended MSB-first;
 emitted 16-bit words hold stream bits in forward order (bit 15 first).
@@ -25,6 +30,36 @@ from .compaction import compact_lanes, compact_packed
 from .lookup import lookup256
 
 _U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+def _or_place(piece, disp, t_rows):
+    """Move piece[r] (uint16 payload in an int32) left by disp[r] rows,
+    OR-combining pieces that land on the same row.
+
+    Requires: disp >= 0, nondecreasing with steps in {0, 1} along axis 0.
+    Under that invariant the binary-decomposition rounds never merge
+    entries bound for different targets (same argument as
+    `compaction.compact_packed`; equal targets imply equal remaining
+    displacement, so the displacement bits of merged entries coincide and
+    OR preserves them).
+    """
+    T = piece.shape[0]
+    packed = (disp << 16) | piece
+
+    shift = 1
+    while shift < T:
+        pad = jnp.zeros((shift,) + packed.shape[1:], packed.dtype)
+        xs = jax.lax.slice_in_dim(
+            jnp.concatenate([packed, pad], axis=0), shift, shift + T, axis=0
+        )
+        arrive = ((xs >> 16) & shift) != 0
+        stay = ((packed >> 16) & shift) == 0
+        moved = jnp.where(arrive, xs - (shift << 16), 0)
+        kept = jnp.where(stay, packed, 0)
+        packed = moved | kept
+        shift <<= 1
+    return jax.lax.slice_in_dim(packed & 0xFFFF, 0, t_rows, axis=0)
 
 
 def encode_lanes(byte_matrix, valid, enc_table):
@@ -38,12 +73,65 @@ def encode_lanes(byte_matrix, valid, enc_table):
         left-aligned).
 
     Returns:
-      words: (S+1, K) int32 (uint16 range) — per-lane compacted stream
-        words, forward bit order, MSB-first; rows >= word_counts garbage.
+      words: (W16, K) int32 (uint16 range) — per-lane stream words, forward
+        bit order, MSB-first; rows >= word_counts are zero.
+        W16 = ceil(S*12/16)+1.
       word_counts: (K,) int32.
       bit_counts: (K,) int32 — exact stream bit length per lane (drives
         byte-exact sizing, the huffman.cpp:770-786 trick).
     """
+    S, K = byte_matrix.shape
+    if S + 1 >= (1 << 14):
+        return _encode_lanes_scan(byte_matrix, valid, enc_table)
+
+    entries = jnp.where(valid, lookup256(byte_matrix, enc_table), 0)
+
+    lens = entries & 15
+    if K % 2 == 0 and S <= 5400:
+        # Two lanes per int32 (per-lane totals <= 12*S < 2^16): the length
+        # prefix sum is the costliest dense pass here, so halve its traffic.
+        half = K // 2
+        lp = lens[:, :half] | (lens[:, half:] << 16)
+        pends = jnp.cumsum(lp, axis=0)
+        ends = jnp.concatenate([pends & 0xFFFF, pends >> 16], axis=1)
+    else:
+        ends = jnp.cumsum(lens, axis=0)  # inclusive
+    bit_counts = ends[-1]
+    offs = ends - lens
+
+    cv = ((entries >> 4) << 4).astype(_I32) & 0xFFFF  # 16-bit left-aligned
+    sh = offs & 15
+    w0 = offs >> 4
+
+    idx = jax.lax.broadcasted_iota(_I32, (S, K), 0)
+    # Max word index is (12*S-1)//16 < S, so t_rows <= S always suffices.
+    t_rows = min(S, (S * 12) // 16 + 2)
+
+    # Piece 0: top bits of the code into word w0.
+    pieceA = (cv >> sh) & 0xFFFF
+    dispA = idx - w0
+
+    # Piece 1: spill into word w0+1, staged one row later so its
+    # displacement stays nonnegative with {0,1} steps.
+    spill = ((cv << (16 - sh)) & 0xFFFF).astype(_I32)
+    spill = jnp.where(sh == 0, 0, spill)
+    pieceB = jnp.concatenate([jnp.zeros((1, K), _I32), spill], axis=0)
+    wB = jnp.concatenate([jnp.zeros((1, K), _I32), w0 + 1], axis=0)
+    idxB = jax.lax.broadcasted_iota(_I32, (S + 1, K), 0)
+    dispB = jnp.where(idxB > 0, idxB - wB, 0)
+
+    wordsA = _or_place(pieceA, dispA, t_rows)
+    wordsB = _or_place(pieceB, dispB, t_rows)
+    words = wordsA | wordsB
+
+    word_counts = (bit_counts + 15) >> 4
+    return words, word_counts, bit_counts
+
+
+def _encode_lanes_scan(byte_matrix, valid, enc_table):
+    """Serial-accumulator fallback for very long lane slices (tiny-K parity
+    configurations), where the placement displacement would not fit beside
+    a 16-bit piece in an int32."""
     S, K = byte_matrix.shape
 
     entries = jnp.where(valid, lookup256(byte_matrix, enc_table), 0)

@@ -38,26 +38,35 @@ def _onehot16(x, dtype):
 def lookup256(indices, table):
     """Gather-free ``table[indices]`` for a 256-entry int table.
 
+    The table is split into high/low bytes so every matmul input is an
+    integer <= 255 — exact in bf16 (8 explicit mantissa bits) — and the MXU
+    runs a single full-rate bf16 pass with f32 accumulation instead of the
+    6-pass f32-HIGHEST decomposition.
+
     Args:
-      indices: (...,) int32 in [0, 256).
-      table: (256,) int array; values must be exactly representable in f32
-        (abs < 2**24).
+      indices: (...,) int32 in [0, 65536) table values (16-bit range).
+      table: (256,) int array with values in [0, 2**16).
 
     Returns:
       (...,) int32.
     """
-    t2 = table.reshape(16, 16).astype(jnp.float32)  # [hi, lo]
-    lo = _onehot16(indices & 15, jnp.float32)
+    t32 = table.astype(jnp.int32)
+    thi = ((t32 >> 8) & 0xFF).reshape(16, 16)  # [h, l]
+    tlo = (t32 & 0xFF).reshape(16, 16)
+    # B: (16 l-values, 32): columns 0..15 = hi byte of entry [h][l] per h,
+    # columns 16..31 = lo byte per h.
+    b_mat = jnp.concatenate([thi.T, tlo.T], axis=1).astype(jnp.bfloat16)
+    lo = _onehot16(indices & 15, jnp.bfloat16)
     hi = _onehot16(indices >> 4, jnp.float32)
-    # HIGHEST precision: the default TPU matmul precision truncates f32
-    # inputs to bf16, which rounds table values (>255 needs >8 mantissa bits).
     m = jax.lax.dot_general(
-        lo, t2, (((lo.ndim - 1,), (1,)), ((), ())),
+        lo,
+        b_mat,
+        (((lo.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (..., 16) over hi
-    vals = jnp.sum(hi * m, axis=-1)
-    return jnp.round(vals).astype(jnp.int32)
+    )  # (..., 32)
+    vals = m[..., :16] * 256.0 + m[..., 16:]  # exact: <= 65535 in f32
+    out = jnp.sum(hi * vals, axis=-1)
+    return out.astype(jnp.int32)
 
 
 def histogram256(data_u8):

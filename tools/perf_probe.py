@@ -1,0 +1,154 @@
+"""Amortized TPU kernel timing probe.
+
+The axon tunnel adds ~26 ms to ANY host fetch, so single-dispatch timing is
+meaningless.  Every measurement here runs the kernel R times inside one jit
+(carrying a data dependency so nothing is elided) and fetches one scalar;
+kernel time = (t(R) - t(0-ish)) / R.
+
+Usage: python tools/perf_probe.py [n_mib] [k]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from huffman_tpu import coding
+from huffman_tpu.constants import MAX_CODE_LEN
+from huffman_tpu.ops import tables
+from huffman_tpu.ops.decode_bits import decode_bitserial, decode_tables_bitserial
+from huffman_tpu.ops.encode import encode_lanes
+from huffman_tpu.ops.lookup import histogram256, lookup256
+from huffman_tpu.ops.decode_words import pack_u16_words_to_u32
+
+
+def biased(n, seed=0):
+    rng = np.random.default_rng(seed)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    return rng.choice(256, size=n, p=p).astype(np.uint8)
+
+
+def timed(name, make_fn, n_bytes, reps=8):
+    """make_fn(r) -> jitted callable running the kernel r times, returns scalar."""
+    f1 = make_fn(1)
+    fr = make_fn(reps)
+    float(f1())  # compile + warm
+    float(fr())
+    t1 = min(
+        (lambda t0=time.perf_counter(): (float(f1()), time.perf_counter() - t0)[1])()
+        for _ in range(3)
+    )
+    tr = min(
+        (lambda t0=time.perf_counter(): (float(fr()), time.perf_counter() - t0)[1])()
+        for _ in range(3)
+    )
+    per = (tr - t1) / (reps - 1)
+    per = max(per, 1e-9)
+    print(f"{name:24s} {per*1e3:9.3f} ms   {n_bytes/per/2**30:9.2f} GiB/s")
+    return per
+
+
+def main():
+    n = int(float(sys.argv[1]) * (1 << 20)) if len(sys.argv) > 1 else (1 << 20)
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    s = n // k
+    assert s * k == n
+
+    data = biased(n)
+    d = jax.device_put(jnp.asarray(data))
+    hist = np.bincount(data, minlength=256)
+    cc = coding.make_canonical_coding(hist.astype(np.uint64))
+    enc_table = jnp.asarray(tables.pack_encode_table(cc).astype(np.int32))
+    t = decode_tables_bitserial(cc.len_count, cc.sorted_syms)
+    e_bound = jnp.asarray(t["e_bound"])
+    g_rank = jnp.asarray(t["g_rank"])
+    syms = jnp.asarray(t["syms"])
+    group = max(1, min(t["l_min"], 32))
+    print(f"n={n} k={k} s={s} group={group} ratio={n/(np.sum(hist*cc.code_lens[np.arange(256)])/8):.3f}")
+
+    b2 = d.reshape(k, s).T.astype(jnp.int32)
+    valid = jnp.ones((s, k), bool)
+
+    # Precompute a compressed block for decode probes.
+    w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
+
+    @jax.jit
+    def enc_full(b):
+        words16, wc, bits = encode_lanes(b, valid, enc_table)
+        rows = words16.shape[0]
+        if rows < 2 * w32:
+            words16 = jnp.concatenate([words16, jnp.zeros((2 * w32 - rows, k), words16.dtype)])
+        else:
+            words16 = jax.lax.slice_in_dim(words16, 0, 2 * w32, axis=0)
+        return pack_u16_words_to_u32(words16, jnp.minimum(wc, 2 * w32)), bits
+
+    words32, bits = enc_full(b2)
+    words32 = jax.device_put(words32)
+    bits = jax.device_put(bits)
+    max_bits = int(np.asarray(bits).max())
+    w_used = (max_bits + 31) // 32
+    words_tight = jax.device_put(words32[:w_used])
+    print(f"w32={w32} w_used={w_used}")
+
+    def rep(body, r):
+        """Run body r times; the carried float feeds a data-dependent (but
+        always-zero at runtime) perturbation into each iteration so XLA can
+        neither hoist the body out of the loop nor fold the dependency."""
+
+        @jax.jit
+        def f():
+            def it(i, acc):
+                pert = jnp.isnan(acc).astype(jnp.int32)  # 0, unprovably
+                out = body(pert)
+                return acc + out
+
+            return jax.lax.fori_loop(0, r, it, jnp.float32(0.0))
+
+        return f
+
+    # --- histogram ---
+    timed("histogram256", lambda r: rep(lambda p: jnp.sum(histogram256(d + p.astype(jnp.uint8))).astype(jnp.float32), r), n)
+
+    # --- encode table lookup ---
+    timed(
+        "lookup256 (S,K)",
+        lambda r: rep(lambda p: jnp.sum(lookup256(b2 + p, enc_table)).astype(jnp.float32), r),
+        n,
+    )
+
+    # --- full encode ---
+    def enc_body(p):
+        words16, wc, bits = encode_lanes(b2 + p, valid, enc_table)
+        return (jnp.sum(words16) + jnp.sum(bits)).astype(jnp.float32)
+
+    timed("encode_lanes full", lambda r: rep(enc_body, r), n)
+
+    # --- decode ---
+    def dec_body(p):
+        out = decode_bitserial(
+            words_tight + p.astype(jnp.uint32),
+            bits,
+            e_bound,
+            g_rank,
+            syms,
+            group=group,
+            out_len=s,
+        )
+        return jnp.sum(out.astype(jnp.int32)).astype(jnp.float32)
+
+    timed("decode_bitserial", lambda r: rep(dec_body, r), n)
+
+    # correctness spot-check
+    out = decode_bitserial(words_tight, bits, e_bound, g_rank, syms, group=group, out_len=s)
+    ok = np.array_equal(np.asarray(out).T.reshape(-1), data)
+    print("roundtrip:", "OK" if ok else "MISMATCH")
+
+
+if __name__ == "__main__":
+    main()
