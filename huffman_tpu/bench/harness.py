@@ -1,0 +1,157 @@
+"""Benchmark timing harness.
+
+Two timing modes:
+
+* **sustained** (device codecs): run the jitted pipeline R times inside
+  one program with a carried data dependency; cost = (t(R) - t(1))/(R-1).
+  A single dispatch through a remote-TPU tunnel carries a fixed ~26 ms
+  RPC round-trip that would otherwise swamp sub-millisecond kernels.
+* **wall** (host codecs): classic repeated wall-clock timing.
+
+Results are plain dicts, JSON-serializable, rendered by
+:mod:`huffman_tpu.bench.table` (the make_table.py equivalent).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def sustained_seconds(body, reps: int = 32, tries: int = 3) -> float:
+    """Seconds per run of ``body(pert)`` (a traced fn returning a f32
+    scalar), measured by in-jit repetition.
+
+    Adaptive: doubles the repetition count until the repeated run is at
+    least ~15 ms above the single run, so fast kernels aren't lost in
+    dispatch-latency noise (each fetch costs ~26 ms on a tunneled TPU).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def make(r):
+        @jax.jit
+        def f():
+            def it(i, acc):
+                pert = jnp.isnan(acc).astype(jnp.uint8)
+                return acc + body(pert)
+
+            return jax.lax.fori_loop(0, r, it, jnp.float32(0.0))
+
+        return f
+
+    def measure(f):
+        float(f())
+        return min(
+            (lambda t0=time.perf_counter(): (float(f()), time.perf_counter() - t0)[1])()
+            for _ in range(tries)
+        )
+
+    t1 = measure(make(1))
+    while True:
+        tr = measure(make(reps))
+        if tr - t1 > 0.015 or reps >= 2048:
+            break
+        reps *= 4
+    return max((tr - t1) / (reps - 1), 1e-9)
+
+
+def wall_seconds(fn, min_time: float = 0.3) -> float:
+    fn()  # warm
+    reps, total = 0, 0.0
+    best = float("inf")
+    while total < min_time:
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        total += dt
+        reps += 1
+        if reps > 1000:
+            break
+    return best
+
+
+def bench_tpu_codec(codec, raw: bytes, reps: int = 32) -> dict:
+    """Sustained compress/decompress rates for a TpuCodec on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..constants import MAX_CODE_LEN
+    from ..models.tpu_codec import _decode_full, _encode_full, _pallas_ok
+
+    n = len(raw)
+    data = jnp.asarray(np.frombuffer(raw, dtype=np.uint8))
+    comp = codec.encode_device(data)
+    out = codec.decode_device(comp)
+    ok = np.asarray(out).tobytes() == raw
+    m = comp.meta()
+
+    k = comp.k
+    s = -(-n // k)
+    w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
+    group = max(1, min(m["l_min"], 32))
+    w = (m["max_bits"] + 31) // 32
+    use_pallas = _pallas_ok(k) and 2 <= s <= 256
+
+    def enc_once(pert):
+        words32, bits, t = _encode_full(data + pert, s, k, w32, use_pallas)
+        return (jnp.sum(bits) + jnp.sum(t["enc_table"])).astype(jnp.float32)
+
+    words = comp.words
+    eb, gr, sy = (
+        comp.tables["e_bound"],
+        comp.tables["g_rank"],
+        comp.tables["sorted_syms"],
+    )
+
+    def dec_once(pert):
+        o = _decode_full(words + pert.astype(jnp.uint32), eb, gr, sy, s, n, group, w)
+        return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
+
+    t_c = sustained_seconds(enc_once, reps=reps)
+    t_d = sustained_seconds(dec_once, reps=reps)
+    blob = codec.serialize(comp)
+    return {
+        "method": codec.name,
+        "streams": k,
+        "compress_bps": n / t_c,
+        "decompress_bps": n / t_d,
+        "ratio": len(blob) / n,
+        "roundtrip_ok": bool(ok),
+    }
+
+
+def bench_bytes_codec(codec, raw: bytes, name: str, streams) -> dict:
+    """Wall-clock rates for any {compress, decompress} bytes codec."""
+    blob = codec.compress(raw)
+    ok = codec.decompress(blob) == raw
+    t_c = wall_seconds(lambda: codec.compress(raw))
+    t_d = wall_seconds(lambda: codec.decompress(blob))
+    return {
+        "method": name,
+        "streams": streams,
+        "compress_bps": len(raw) / t_c,
+        "decompress_bps": len(raw) / t_d,
+        "ratio": len(blob) / len(raw),
+        "roundtrip_ok": bool(ok),
+    }
+
+
+def run_suite(workload_names, codecs, n, file_path=None, reps=32) -> dict:
+    """codecs: list of ("tpu", TpuCodec) / ("bytes", name, streams, codec)."""
+    from .workloads import make_workload
+
+    results = {}
+    for wname in workload_names:
+        raw = make_workload(wname, n, file_path)
+        rows = []
+        for spec in codecs:
+            if spec[0] == "tpu":
+                rows.append(bench_tpu_codec(spec[1], raw, reps=reps))
+            else:
+                _, name, streams, codec = spec
+                rows.append(bench_bytes_codec(codec, raw, name, streams))
+        results[wname] = {"bytes": len(raw), "rows": rows}
+    return results

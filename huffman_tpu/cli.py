@@ -1,0 +1,157 @@
+"""Command-line compression tool.
+
+The reference ships a 15-line empty stub (compress_tool.cpp:7-15, C33);
+this is the finished tool: compress/decompress files with either format
+profile, with verification and timing.
+
+Usage:
+  python -m huffman_tpu.cli compress   IN OUT [--profile tpu|ref] [--k K]
+  python -m huffman_tpu.cli decompress IN OUT [--profile tpu|ref] [--k K]
+  python -m huffman_tpu.cli roundtrip  IN      [--profile tpu|ref] [--k K]
+
+File container (tpu profile): input is split into fixed blocks
+(--block, default 16 MiB), each an independent HTP3 blob framed as
+``u32 blob_len | u32 raw_len | blob`` — so decompression can stream
+block by block.  Every block (including the tail) is zero-padded to the
+full block size before encoding so all blocks share ONE compiled kernel
+shape; ``raw_len`` trims the pad on decode.  The ref profile writes a
+single reference-compatible K-stream blob (the reference's own format
+has no container; parity configs only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import struct
+import sys
+import time
+
+FILE_MAGIC = b"HTPF"
+
+
+def _codec(profile: str, k: int | None):
+    if profile == "tpu":
+        from .models.tpu_codec import TpuCodec
+
+        return TpuCodec(k)
+    if profile == "ref":
+        from .models.jax_codec import JaxCodec
+
+        return JaxCodec(k or 32)
+    raise SystemExit(f"unknown profile {profile!r} (use tpu|ref)")
+
+
+def compress_file(inp: str, out: str, profile: str, k: int | None, block: int) -> dict:
+    codec = _codec(profile, k)
+    t0 = time.perf_counter()
+    n_in = n_out = 0
+    with open(inp, "rb") as fi, open(out, "wb") as fo:
+        if profile == "ref":
+            raw = fi.read()
+            blob = codec.compress(raw)
+            fo.write(blob)
+            n_in, n_out = len(raw), len(blob)
+        else:
+            fo.write(FILE_MAGIC + struct.pack("<I", block))
+            n_out = 8
+            while True:
+                raw = fi.read(block)
+                if not raw:
+                    break
+                raw_len = len(raw)
+                if raw_len < block:
+                    raw = raw + b"\0" * (block - raw_len)
+                blob = codec.compress(raw)
+                fo.write(struct.pack("<II", len(blob), raw_len))
+                fo.write(blob)
+                n_in += raw_len
+                n_out += 8 + len(blob)
+    dt = time.perf_counter() - t0
+    return {"in": n_in, "out": n_out, "seconds": dt}
+
+
+def decompress_file(inp: str, out: str, profile: str, k: int | None) -> dict:
+    codec = _codec(profile, k)
+    t0 = time.perf_counter()
+    n_in = n_out = 0
+    with open(inp, "rb") as fi, open(out, "wb") as fo:
+        if profile == "ref":
+            blob = fi.read()
+            raw = codec.decompress(blob)
+            fo.write(raw)
+            n_in, n_out = len(blob), len(raw)
+        else:
+            hdr = fi.read(8)
+            if hdr[:4] != FILE_MAGIC:
+                raise SystemExit("not a huffman_tpu container (bad magic)")
+            n_in = 8
+            while True:
+                lb = fi.read(8)
+                if not lb:
+                    break
+                if len(lb) != 8:
+                    raise SystemExit("truncated container (block frame)")
+                blen, raw_len = struct.unpack("<II", lb)
+                blob = fi.read(blen)
+                if len(blob) != blen:
+                    raise SystemExit("truncated container (block payload)")
+                raw = codec.decompress(blob)[:raw_len]
+                fo.write(raw)
+                n_in += 8 + blen
+                n_out += len(raw)
+    dt = time.perf_counter() - t0
+    return {"in": n_in, "out": n_out, "seconds": dt}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="huffman_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("compress", "decompress", "roundtrip"):
+        p = sub.add_parser(name)
+        p.add_argument("input")
+        if name != "roundtrip":
+            p.add_argument("output")
+        p.add_argument("--profile", default="tpu", choices=("tpu", "ref"))
+        p.add_argument("--k", type=int, default=None)
+        p.add_argument("--block", type=int, default=16 << 20)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "compress":
+        r = compress_file(args.input, args.output, args.profile, args.k, args.block)
+        mbs = r["in"] / max(r["seconds"], 1e-9) / (1 << 20)
+        print(
+            f"{r['in']} -> {r['out']} bytes "
+            f"(ratio {r['in'] / max(r['out'], 1):.3f}) in {r['seconds']:.3f}s "
+            f"[{mbs:.0f} MiB/s incl. host framing]"
+        )
+    elif args.cmd == "decompress":
+        r = decompress_file(args.input, args.output, args.profile, args.k)
+        mbs = r["out"] / max(r["seconds"], 1e-9) / (1 << 20)
+        print(
+            f"{r['in']} -> {r['out']} bytes in {r['seconds']:.3f}s "
+            f"[{mbs:.0f} MiB/s incl. host framing]"
+        )
+    else:  # roundtrip
+        import hashlib
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            cpath = os.path.join(td, "c")
+            dpath = os.path.join(td, "d")
+            rc = compress_file(args.input, cpath, args.profile, args.k, args.block)
+            rd = decompress_file(cpath, dpath, args.profile, args.k)
+            h1 = hashlib.sha256(open(args.input, "rb").read()).hexdigest()
+            h2 = hashlib.sha256(open(dpath, "rb").read()).hexdigest()
+            ok = h1 == h2
+            print(
+                f"roundtrip {'OK' if ok else 'MISMATCH'}: "
+                f"{rc['in']} -> {rc['out']} -> {rd['out']} bytes "
+                f"(ratio {rc['in'] / max(rc['out'], 1):.3f})"
+            )
+            if not ok:
+                sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import coding, format as fmt, golden
+from .. import coding, format as fmt, golden, native
 from ..constants import STREAM_SLOP
 from ..ops import tables
 from ..ops.decode import decode_lanes
@@ -66,9 +66,9 @@ class JaxCodec:
             # Tiny inputs: device launch overhead dwarfs any win.  Very long
             # slices (tiny K vs input, a ref-parity configuration, not a TPU
             # one): a lockstep scan would serialize ~n/k steps for almost no
-            # lane parallelism — the host golden codec is faster and emits
-            # identical bytes.
-            return golden.compress(raw, k)
+            # lane parallelism — the native host runtime is faster and emits
+            # identical bytes (golden if no toolchain).
+            return native.compress(raw, k)
         data = jnp.asarray(np.frombuffer(raw, dtype=np.uint8))
         hist = device_histogram(data)
         cc = coding.make_canonical_coding(hist)
@@ -110,7 +110,7 @@ class JaxCodec:
         if n == 0:
             return b""
         if n < 4 * k or n > 4096 * k:
-            return golden.decompress(blob, k)
+            return native.decompress(bytes(blob), k)
         dec_table = jnp.asarray(tables.pack_decode_table(h.len_count, h.sorted_syms))
         sizes_np = fmt.slice_sizes(n, k)
         s = int(sizes_np.max())

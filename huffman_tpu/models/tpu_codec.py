@@ -29,11 +29,16 @@ results — the TPU analog of the reference's scalar/AVX shared format
 
 Serialized layout (little-endian):
 
-    u32 magic 'HTP2' | u32 raw_size | u32 K | u32 len_mask
+    u32 magic 'HTP3' | u32 raw_size | u32 K | u32 len_mask
     u8  count[popcount(len_mask)]   (256 wraps to 0, as ref profile)
     u8  syms[num_syms]
-    pad to 4B | u32 bit_counts[K]
-    u32 words[sum_k ceil(bits_k/32)]   (lane-major compact)
+    pad to 2B | u16 bit_counts[K]   (u32 when len_mask bit 24 is set —
+                                     lanes longer than 5461 bytes)
+    u8  payload[sum_k ceil(bits_k/8)]  (lane-major, byte-granular)
+
+The per-lane overhead is ~2.5 bytes (u16 count + partial final byte);
+the ``ref`` profile pays 4 (u32 end offset) per stream, the difference
+being that K here is thousands, so counts are kept tight.
 """
 
 from __future__ import annotations
@@ -56,7 +61,7 @@ from ..ops.encode_pallas import encode_lanes_pallas
 from ..ops.lookup import histogram256
 from ..ops.table_build import build_coding_device
 
-MAGIC = 0x48545032  # 'HTP2'
+MAGIC = 0x48545033  # 'HTP3'
 
 
 def _pallas_ok(k: int) -> bool:
@@ -235,10 +240,18 @@ class TpuCodec:
         if m["num_syms"] <= 1:
             sym = int(m["sorted_syms"][0]) if m["num_syms"] else 0
             return jnp.full((n,), sym, jnp.uint8)
-        group = max(1, min(m["l_min"], 32))
+        # Bucket the data-dependent statics (group to powers of two, W to
+        # multiples of 4) so similar blocks share one compiled program.
+        group = 1 << min(max(1, min(m["l_min"], 32)).bit_length() - 1, 3)
         w = (m["max_bits"] + 31) // 32
+        w = min(-(-w // 4) * 4, (s * MAX_CODE_LEN + 31) // 32 + 1)
+        words = comp.words
+        if words.shape[0] < w:
+            words = jnp.concatenate(
+                [words, jnp.zeros((w - words.shape[0], k), words.dtype)]
+            )
         return _decode_full(
-            comp.words,
+            words,
             comp.tables["e_bound"],
             comp.tables["g_rank"],
             comp.tables["sorted_syms"],
@@ -263,34 +276,40 @@ class TpuCodec:
     def serialize(self, comp: TpuCompressed) -> bytes:
         cc = comp.coding
         k = comp.k
+        bits = np.asarray(comp.bit_counts).astype(np.int64)
+        wide = bool(bits.max(initial=0) >= (1 << 16))
         out = bytearray()
-        out += struct.pack("<IIII", MAGIC, comp.raw_size, k, cc.len_mask)
+        out += struct.pack(
+            "<IIII", MAGIC, comp.raw_size, k, cc.len_mask | (int(wide) << 24)
+        )
         for ln in range(MAX_CODE_LEN + 1):
             c = int(cc.len_count[ln])
             if c:
                 out.append(c & 0xFF)
         out += cc.sorted_syms.tobytes()
-        while len(out) % 4:
+        while len(out) % 2:
             out.append(0)
+        out += bits.astype("<u4" if wide else "<u2").tobytes()
 
-        bits = np.asarray(comp.bit_counts).astype(np.int64)
-        out += bits.astype("<u4").tobytes()
-
-        words = np.asarray(comp.words)  # (W, K)
-        wcounts = (bits + 31) // 32
-        total = int(wcounts.sum())
-        lane_of = np.repeat(np.arange(k, dtype=np.int64), wcounts)
-        w_of = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(wcounts)])[:-1], wcounts
+        # Byte-granular payload: lane k contributes its first
+        # ceil(bits_k/8) stream bytes (big-endian within each u32 word —
+        # the stream's forward MSB-first order).
+        words = np.asarray(comp.words)  # (W, K) uint32
+        w = words.shape[0]
+        lane_bytes = (
+            np.ascontiguousarray(words.T).astype(">u4").view(np.uint8).reshape(k, 4 * w)
         )
-        flat = words[w_of, lane_of]
-        out += flat.astype("<u4").tobytes()
+        nbytes = (bits + 7) // 8
+        mask = np.arange(4 * w, dtype=np.int64)[None, :] < nbytes[:, None]
+        out += lane_bytes[mask].tobytes()
         return bytes(out)
 
     def deserialize(self, blob: bytes) -> TpuCompressed:
         buf = memoryview(blob)
         magic, raw_size, k, len_mask = struct.unpack_from("<IIII", buf, 0)
         assert magic == MAGIC, "not a tpu-profile blob"
+        wide = bool(len_mask >> 24)
+        len_mask &= (1 << 24) - 1
         pos = 16
         len_count = np.zeros(MAX_CODE_LEN + 1, dtype=np.uint16)
         one_size = bin(len_mask).count("1") == 1
@@ -305,19 +324,20 @@ class TpuCodec:
                 num_syms += c
         sorted_syms = np.frombuffer(buf[pos : pos + num_syms], dtype=np.uint8).copy()
         pos += num_syms
-        pos = (pos + 3) & ~3
-        bits = np.frombuffer(buf[pos : pos + 4 * k], dtype="<u4").astype(np.int64)
-        pos += 4 * k
-        flat = np.frombuffer(buf[pos:], dtype="<u4").astype(np.uint32)
+        pos = (pos + 1) & ~1
+        cw = 4 if wide else 2
+        bits = np.frombuffer(
+            buf[pos : pos + cw * k], dtype="<u4" if wide else "<u2"
+        ).astype(np.int64)
+        pos += cw * k
+        flat = np.frombuffer(buf[pos:], dtype=np.uint8)
 
-        wcounts = (bits + 31) // 32
-        wmax = max(int(wcounts.max()), 1)
-        words = np.zeros((wmax, k), dtype=np.uint32)
-        lane_of = np.repeat(np.arange(k, dtype=np.int64), wcounts)
-        w_of = np.arange(len(flat), dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(wcounts)])[:-1], wcounts
-        )
-        words[w_of, lane_of] = flat
+        nbytes = (bits + 7) // 8
+        wmax = max(int((bits.max(initial=0) + 31) // 32), 1)
+        lane_bytes = np.zeros((k, 4 * wmax), dtype=np.uint8)
+        mask = np.arange(4 * wmax, dtype=np.int64)[None, :] < nbytes[:, None]
+        lane_bytes[mask] = flat[: int(nbytes.sum())]
+        words = lane_bytes.view(">u4").astype(np.uint32).T.copy()
 
         t = decode_tables_bitserial(len_count, sorted_syms)
         syms256 = np.zeros(256, np.int32)

@@ -1,0 +1,153 @@
+"""ctypes bindings for the native host runtime (native/huffman_host.cpp).
+
+Auto-builds ``build/libhuffman_host.so`` with g++ on first use (cached);
+falls back to the NumPy golden codec if no toolchain is available, so the
+package works everywhere and is merely faster where it can be.
+
+The native codec emits bit-identical blobs to the golden model (same
+deterministic tie-breaks) — enforced by tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO, "native", "huffman_host.cpp")
+_SO = os.path.join(_REPO, "build", "libhuffman_host.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-funroll-loops",
+        "-std=c++20",
+        "-shared",
+        "-fPIC",
+        "-o",
+        _SO,
+        _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def load():
+    """The loaded library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not os.path.exists(_SRC):
+                return None
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.hh_compress_bound.restype = ctypes.c_size_t
+        lib.hh_compress_bound.argtypes = [ctypes.c_size_t, ctypes.c_int]
+        lib.hh_compress.restype = ctypes.c_size_t
+        lib.hh_compress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.hh_decompress.restype = ctypes.c_size_t
+        lib.hh_decompress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.hh_raw_size.restype = ctypes.c_size_t
+        lib.hh_raw_size.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        lib.hh_histogram.restype = None
+        lib.hh_histogram.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def compress(raw: bytes, k: int) -> bytes:
+    lib = load()
+    if lib is None:
+        from . import golden
+
+        return golden.compress(raw, k)
+    bound = lib.hh_compress_bound(len(raw), k)
+    out = ctypes.create_string_buffer(bound)
+    size = lib.hh_compress(raw, len(raw), k, out, bound)
+    if size == 0:
+        raise RuntimeError("native compress failed")
+    return out.raw[:size]
+
+
+def decompress(blob: bytes, k: int) -> bytes:
+    lib = load()
+    if lib is None:
+        from . import golden
+
+        return golden.decompress(blob, k)
+    n = lib.hh_raw_size(blob, len(blob))
+    out = ctypes.create_string_buffer(max(n, 1))
+    size = lib.hh_decompress(blob, len(blob), k, out, n)
+    if size == ctypes.c_size_t(-1).value:
+        raise ValueError("corrupt ref-profile blob")
+    return out.raw[:n]
+
+
+def histogram(data: bytes) -> np.ndarray:
+    lib = load()
+    if lib is None:
+        from . import coding
+
+        return coding.histogram(data).astype(np.uint64)
+    out = np.zeros(256, dtype=np.uint64)
+    lib.hh_histogram(data, len(data), out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+class NativeCodec:
+    """Facade matching the compressor-class shape (huffman.h:42-52)."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    @property
+    def name(self) -> str:
+        return f"Native<{self.k}>"
+
+    def compress(self, raw: bytes) -> bytes:
+        return compress(raw, self.k)
+
+    def decompress(self, blob: bytes) -> bytes:
+        return decompress(blob, self.k)

@@ -51,14 +51,12 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
         eb = [scal_ref[0, l] for l in range(1, MAX_CODE_LEN)]
 
         # ---- Stage 1: lockstep bit scan ----
-        c = jnp.zeros(shape, _I32)
-        for w in range(w_rows):
+        # fori_loop (not an unrolled Python loop) keeps the traced program
+        # size independent of W — tracing the unrolled form cost tens of
+        # seconds per (W, group) variant, far more than the XLA compile.
+        def row_step(w, c):
             cur = w_ref[w]
-            nx = (
-                w_ref[w + 1]
-                if w + 1 < w_rows
-                else jnp.zeros(shape, jnp.uint32)
-            )
+            nx = jnp.where(w + 1 < w_rows, w_ref[jnp.minimum(w + 1, w_rows - 1)], 0)
             svals = [jnp.zeros(shape, _I32)] * slots
             for j in range(32):
                 if j == 0:
@@ -74,6 +72,9 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
                 c = jnp.where(boundary, ln - 1, c - 1)
             for sl in range(slots):
                 st_ref[w * slots + sl] = svals[sl]
+            return c
+
+        jax.lax.fori_loop(0, w_rows, row_step, jnp.zeros(shape, _I32))
 
         # ---- Stage 2: stable per-lane compaction (displacement rounds) ----
         staged = st_ref[:]

@@ -1,0 +1,468 @@
+// Native host runtime for huffman_tpu: fast CPU codec for the `ref`
+// format profile (K-stream canonical Huffman, backward bitstreams).
+//
+// Role in the framework: the host-side runtime around the TPU compute
+// path — small-block fallback, serialization-side processing, and the
+// fast cross-check anchor for the accelerated paths.  It implements the
+// same wire format as huffman_tpu.golden (see huffman_tpu/format.py for
+// the layout contract) with the same deterministic tie-breaks, so its
+// output is bit-identical to the golden model and the JAX/Pallas paths.
+//
+// Written from the format contract in this repository's Python
+// implementation (golden.py / coding.py / format.py); the wire format
+// itself is byte-compatible with the ahartik/huffman-avx512 reference
+// (codec/huffman.cpp:794-813 header, backward streams) by design.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kMaxLen = 12;           // MAX_CODE_LEN
+constexpr int kSlop = 8;              // STREAM_SLOP
+constexpr int kNumSyms = 256;
+
+struct Coding {
+  uint16_t code_bits[kNumSyms];  // left-aligned in 12-bit field
+  uint8_t code_lens[kNumSyms];
+  uint8_t sorted_syms[kNumSyms];
+  uint16_t len_count[kMaxLen + 1];
+  uint32_t len_mask;
+  int num_syms;
+};
+
+// ---------------- histogram ----------------
+// Four interleaved count banks over 64-bit loads: keeps several
+// independent increment chains in flight (same motivation as the
+// reference's banked histograms, histogram.cpp:14-92; implementation
+// is our own).
+void Histogram(const uint8_t* p, size_t n, uint64_t out[kNumSyms]) {
+  uint32_t bank[4][kNumSyms] = {};
+  size_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    uint64_t w;
+    std::memcpy(&w, p + i, 8);
+    bank[0][w & 0xFF]++;
+    bank[1][(w >> 8) & 0xFF]++;
+    bank[2][(w >> 16) & 0xFF]++;
+    bank[3][(w >> 24) & 0xFF]++;
+    bank[0][(w >> 32) & 0xFF]++;
+    bank[1][(w >> 40) & 0xFF]++;
+    bank[2][(w >> 48) & 0xFF]++;
+    bank[3][w >> 56]++;
+  }
+  for (; i < n; ++i) bank[0][p[i]]++;
+  for (int v = 0; v < kNumSyms; ++v)
+    out[v] = (uint64_t)bank[0][v] + bank[1][v] + bank[2][v] + bank[3][v];
+}
+
+// ---------------- canonical coding ----------------
+// Mirrors huffman_tpu.coding.make_canonical_coding exactly:
+// order = (freq desc, symbol asc); two-queue build, leaf popped on tie;
+// MiniZ-style Kraft repair to <= 12 bits.
+void BuildCoding(const uint64_t hist[kNumSyms], Coding* cc) {
+  std::memset(cc, 0, sizeof(*cc));
+  int order[kNumSyms];
+  int n = 0;
+  for (int s = 0; s < kNumSyms; ++s)
+    if (hist[s]) order[n++] = s;
+  cc->num_syms = n;
+  if (n == 0) return;
+  std::sort(order, order + n, [&](int a, int b) {
+    if (hist[a] != hist[b]) return hist[a] > hist[b];
+    return a < b;
+  });
+  for (int i = 0; i < n; ++i) cc->sorted_syms[i] = (uint8_t)order[i];
+
+  // Unlimited depths via two-queue merge over ascending weights.
+  int64_t len_count_raw[64] = {};
+  if (n == 1) {
+    len_count_raw[0] = 1;
+  } else {
+    std::vector<uint64_t> w(n);  // ascending
+    for (int i = 0; i < n; ++i) w[i] = hist[order[n - 1 - i]];
+    std::vector<uint64_t> tree_w(n);
+    std::vector<int> child0(n), child1(n);
+    int next_leaf = 0, next_tree = 0, tree_size = 0;
+    auto heap_size = [&] { return (tree_size - next_tree) + (n - next_leaf); };
+    auto pop_min = [&](int* node) -> uint64_t {
+      bool leaf = false;
+      if (next_leaf < n)
+        leaf = (next_tree == tree_size) || (w[next_leaf] <= tree_w[next_tree]);
+      if (leaf) {
+        *node = -1;
+        return w[next_leaf++];
+      }
+      *node = next_tree;
+      return tree_w[next_tree++];
+    };
+    while (heap_size() > 1) {
+      int na, nb;
+      uint64_t wa = pop_min(&na);
+      uint64_t wb = pop_min(&nb);
+      child0[tree_size] = na;
+      child1[tree_size] = nb;
+      tree_w[tree_size] = wa + wb;
+      tree_size++;
+    }
+    int root;
+    pop_min(&root);
+    // Iterative depth collection.
+    std::vector<std::pair<int, int>> stack;
+    stack.push_back({root, 0});
+    while (!stack.empty()) {
+      auto [node, depth] = stack.back();
+      stack.pop_back();
+      if (node < 0) {
+        len_count_raw[depth < 63 ? depth : 63]++;
+      } else {
+        stack.push_back({child0[node], depth + 1});
+        stack.push_back({child1[node], depth + 1});
+      }
+    }
+  }
+
+  // Limit to kMaxLen (fold + Kraft repair).
+  int64_t lc[kMaxLen + 1] = {};
+  for (int l = 0; l <= kMaxLen; ++l) lc[l] = len_count_raw[l];
+  for (int l = kMaxLen + 1; l < 64; ++l) lc[kMaxLen] += len_count_raw[l];
+  int64_t one = 1ll << kMaxLen, kraft = 0;
+  for (int l = 0; l <= kMaxLen; ++l) kraft += lc[l] << (kMaxLen - l);
+  while (kraft > one) {
+    lc[kMaxLen]--;
+    for (int j = kMaxLen - 1; j >= 0; --j) {
+      if (lc[j] > 0) {
+        lc[j]--;
+        lc[j + 1] += 2;
+        break;
+      }
+    }
+    kraft--;
+  }
+  for (int l = 0; l <= kMaxLen; ++l) {
+    cc->len_count[l] = (uint16_t)lc[l];
+    if (lc[l]) cc->len_mask |= 1u << l;
+  }
+
+  // Canonical assignment in sorted_syms order grouped by ascending length.
+  uint32_t current = 0;
+  int i = 0;
+  for (int l = 0; l <= kMaxLen; ++l) {
+    uint32_t inc = 1u << (kMaxLen - l);
+    for (int c = 0; c < lc[l]; ++c, ++i) {
+      int s = cc->sorted_syms[i];
+      cc->code_bits[s] = (uint16_t)current;
+      cc->code_lens[s] = (uint8_t)l;
+      current += inc;
+    }
+  }
+}
+
+// ---------------- decode tables ----------------
+struct D1 {
+  uint8_t len;
+  uint8_t sym;
+};
+struct D2 {
+  uint8_t nbits;
+  uint8_t nsyms;
+  uint8_t s0, s1;
+};
+
+void BuildTables(const uint16_t len_count[kMaxLen + 1],
+                 const uint8_t* sorted_syms, int num_syms,
+                 std::vector<D1>& t1, std::vector<D2>& t2) {
+  t1.assign(1 << kMaxLen, D1{0, 0});
+  t2.assign(1 << kMaxLen, D2{0, 0, 0, 0});
+  // Enumerate codes (ascending length).
+  struct CodeEnt {
+    int sym, bits, len;
+  };
+  std::vector<CodeEnt> codes;
+  codes.reserve(num_syms);
+  uint32_t current = 0;
+  int i = 0;
+  for (int l = 0; l <= kMaxLen; ++l) {
+    uint32_t inc = 1u << (kMaxLen - l);
+    for (int c = 0; c < len_count[l]; ++c, ++i) {
+      codes.push_back({sorted_syms[i], (int)current, l});
+      current += inc;
+    }
+  }
+  for (auto& e : codes) {
+    int fill = 1 << (kMaxLen - e.len);
+    for (int j = 0; j < fill; ++j)
+      t1[e.bits + j] = D1{(uint8_t)e.len, (uint8_t)e.sym};
+  }
+  for (auto& e1 : codes) {
+    int last = e1.bits;
+    for (auto& e2 : codes) {
+      if (e1.len + e2.len > kMaxLen) break;  // lengths ascend
+      int c = e1.bits | (e2.bits >> e1.len);
+      int inc = 1 << (kMaxLen - e1.len - e2.len);
+      for (int j = 0; j < inc; ++j)
+        t2[c + j] = D2{(uint8_t)(e1.len + e2.len), 2, (uint8_t)e1.sym,
+                       (uint8_t)e2.sym};
+      last = c + inc;
+    }
+    int end1 = e1.bits + (1 << (kMaxLen - e1.len));
+    for (int j = last; j < end1; ++j)
+      t2[j] = D2{(uint8_t)e1.len, 1, (uint8_t)e1.sym, 0};
+  }
+}
+
+// ---------------- bit IO ----------------
+// Backward stream writer: stream byte i lives at region_end-1-i,
+// bits MSB-first within a byte (format contract in format.py).
+struct BitWriter {
+  uint8_t* end;      // one past region end; writes walk down
+  uint64_t acc = 0;  // upcoming bits at the top
+  int nbits = 0;
+
+  explicit BitWriter(uint8_t* region_end) : end(region_end) {}
+  inline void Put(uint32_t code12, int len) {
+    acc |= (uint64_t)code12 << (52 - nbits);
+    nbits += len;
+    while (nbits >= 8) {
+      *(--end) = (uint8_t)(acc >> 56);
+      acc <<= 8;
+      nbits -= 8;
+    }
+  }
+  inline void Finish() {
+    if (nbits > 0) {
+      *(--end) = (uint8_t)(acc >> 56);
+      acc = 0;
+      nbits = 0;
+    }
+  }
+};
+
+// Backward stream reader: mirrors the writer; bytes below region begin
+// read as zero (same contract as huffman.cpp:536-556 and golden.py).
+struct BitReader {
+  const uint8_t* begin;
+  const uint8_t* next;  // next byte to load (walking down)
+  uint64_t buf = 0;     // upcoming bits at the top
+  int navail = 0;
+
+  BitReader(const uint8_t* region_begin, const uint8_t* region_end)
+      : begin(region_begin), next(region_end) {}
+  inline void Fill() {
+    while (navail <= 56) {
+      uint8_t b = (next > begin) ? *(--next) : 0;
+      buf |= (uint64_t)b << (56 - navail);
+      navail += 8;
+    }
+  }
+  inline uint32_t Peek12() const { return (uint32_t)(buf >> 52); }
+  inline void Consume(int n) {
+    buf <<= n;
+    navail -= n;
+  }
+};
+
+inline void WriteU32(std::vector<uint8_t>& out, uint32_t v) {
+  out.push_back(v & 0xFF);
+  out.push_back((v >> 8) & 0xFF);
+  out.push_back((v >> 16) & 0xFF);
+  out.push_back((v >> 24) & 0xFF);
+}
+
+inline uint32_t ReadU32(const uint8_t* p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+
+void SliceSizes(size_t n, int k, std::vector<size_t>& sizes) {
+  sizes.assign(k, n / k);
+  for (size_t i = 0; i < n % (size_t)k; ++i) sizes[i]++;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Upper bound on compressed size for n bytes in k streams.
+size_t hh_compress_bound(size_t n, int k) {
+  return 8 + 13 + 256 + 4 * (size_t)k + 2 * n + 16 * (size_t)k + 64;
+}
+
+// Compress into the ref-profile K-stream format.  Returns compressed
+// size, or 0 on error (out_cap too small).
+size_t hh_compress(const uint8_t* data, size_t n, int k, uint8_t* out,
+                   size_t out_cap) {
+  std::vector<size_t> sizes;
+  SliceSizes(n, k, sizes);
+
+  std::vector<uint64_t> part_hist((size_t)k * kNumSyms, 0);
+  uint64_t total[kNumSyms] = {};
+  {
+    size_t off = 0;
+    for (int s = 0; s < k; ++s) {
+      Histogram(data + off, sizes[s], &part_hist[(size_t)s * kNumSyms]);
+      off += sizes[s];
+      for (int v = 0; v < kNumSyms; ++v)
+        total[v] += part_hist[(size_t)s * kNumSyms + v];
+    }
+  }
+  Coding cc;
+  BuildCoding(total, &cc);
+
+  // Exact per-stream bit counts -> region sizes -> end offsets.
+  std::vector<size_t> region(k), endoff(k);
+  size_t payload = 0;
+  for (int s = 0; s < k; ++s) {
+    uint64_t bits = 0;
+    for (int v = 0; v < kNumSyms; ++v)
+      bits += part_hist[(size_t)s * kNumSyms + v] * cc.code_lens[v];
+    region[s] = (size_t)((bits + 7) / 8) + kSlop;
+    payload += region[s];
+    endoff[s] = payload;
+  }
+
+  // Header.
+  std::vector<uint8_t> hdr;
+  hdr.reserve(16 + 256 + 4 * k);
+  WriteU32(hdr, (uint32_t)n);
+  WriteU32(hdr, cc.len_mask);
+  for (int l = 0; l <= kMaxLen; ++l)
+    if (cc.len_count[l]) hdr.push_back((uint8_t)(cc.len_count[l] & 0xFF));
+  for (int i = 0; i < cc.num_syms; ++i) hdr.push_back(cc.sorted_syms[i]);
+  for (int s = 0; s < k - 1; ++s) WriteU32(hdr, (uint32_t)endoff[s]);
+
+  size_t total_size = hdr.size() + payload;
+  if (total_size > out_cap) return 0;
+  std::memcpy(out, hdr.data(), hdr.size());
+  uint8_t* pay = out + hdr.size();
+  std::memset(pay, 0, payload);
+
+  size_t off = 0;
+  size_t rstart = 0;
+  for (int s = 0; s < k; ++s) {
+    BitWriter bw(pay + rstart + region[s]);
+    const uint8_t* p = data + off;
+    size_t m = sizes[s];
+    size_t i = 0;
+    for (; i + 4 <= m; i += 4) {
+      bw.Put(cc.code_bits[p[i]], cc.code_lens[p[i]]);
+      bw.Put(cc.code_bits[p[i + 1]], cc.code_lens[p[i + 1]]);
+      bw.Put(cc.code_bits[p[i + 2]], cc.code_lens[p[i + 2]]);
+      bw.Put(cc.code_bits[p[i + 3]], cc.code_lens[p[i + 3]]);
+    }
+    for (; i < m; ++i) bw.Put(cc.code_bits[p[i]], cc.code_lens[p[i]]);
+    bw.Finish();
+    off += m;
+    rstart += region[s];
+  }
+  return total_size;
+}
+
+// Raw size recorded in a compressed blob.
+size_t hh_raw_size(const uint8_t* blob, size_t blob_len) {
+  if (blob_len < 8) return 0;
+  return ReadU32(blob);
+}
+
+// Decompress a ref-profile blob (k must match the encoder's).  Returns
+// bytes written, or (size_t)-1 on error.
+size_t hh_decompress(const uint8_t* blob, size_t blob_len, int k,
+                     uint8_t* out, size_t out_cap) {
+  if (blob_len < 8) return (size_t)-1;
+  size_t n = ReadU32(blob);
+  uint32_t len_mask = ReadU32(blob + 4);
+  if (n > out_cap) return (size_t)-1;
+  size_t pos = 8;
+
+  uint16_t len_count[kMaxLen + 1] = {};
+  int pops = __builtin_popcount(len_mask & ((1u << (kMaxLen + 1)) - 1));
+  int num_syms = 0;
+  for (int l = 0; l <= kMaxLen; ++l) {
+    if (len_mask & (1u << l)) {
+      if (pos >= blob_len) return (size_t)-1;
+      int c = blob[pos++];
+      if (pops == 1 && c == 0) c = 256;
+      len_count[l] = (uint16_t)c;
+      num_syms += c;
+    }
+  }
+  if (pos + num_syms > blob_len) return (size_t)-1;
+  const uint8_t* sorted_syms = blob + pos;
+  pos += num_syms;
+
+  std::vector<size_t> endoff(k);
+  for (int s = 0; s < k - 1; ++s) {
+    if (pos + 4 > blob_len) return (size_t)-1;
+    endoff[s] = ReadU32(blob + pos);
+    pos += 4;
+  }
+  const uint8_t* pay = blob + pos;
+  size_t pay_len = blob_len - pos;
+  endoff[k - 1] = pay_len;
+
+  if (num_syms == 0) return n == 0 ? 0 : (size_t)-1;
+  if (num_syms == 1) {
+    std::memset(out, sorted_syms[0], n);
+    return n;
+  }
+
+  std::vector<D1> t1;
+  std::vector<D2> t2;
+  BuildTables(len_count, sorted_syms, num_syms, t1, t2);
+
+  std::vector<size_t> sizes;
+  SliceSizes(n, k, sizes);
+
+  size_t oo = 0, rstart = 0;
+  for (int s = 0; s < k; ++s) {
+    size_t rend = endoff[s];
+    if (rend > pay_len || rend < rstart) return (size_t)-1;
+    BitReader br(pay + rstart, pay + rend);
+    uint8_t* op = out + oo;
+    size_t m = sizes[s];
+    size_t i = 0;
+    while (i + 8 <= m) {
+      br.Fill();
+      // 4 two-symbol decodes per refill: <= 4*24 bits < 56 guaranteed
+      // only for... 4*24=96 > 56, so refill every 2 decodes instead.
+      const D2& a = t2[br.Peek12()];
+      op[i] = a.s0;
+      op[i + 1] = a.s1;
+      i += a.nsyms;
+      br.Consume(a.nbits);
+      const D2& b = t2[br.Peek12()];
+      op[i] = b.s0;
+      op[i + 1] = b.s1;
+      i += b.nsyms;
+      br.Consume(b.nbits);
+    }
+    while (i + 2 <= m) {
+      br.Fill();
+      const D2& e = t2[br.Peek12()];
+      op[i] = e.s0;
+      op[i + 1] = e.s1;
+      i += e.nsyms;
+      br.Consume(e.nbits);
+    }
+    while (i < m) {
+      br.Fill();
+      const D1& e = t1[br.Peek12()];
+      op[i++] = e.sym;
+      br.Consume(e.len);
+    }
+    oo += m;
+    rstart = rend;
+  }
+  return n;
+}
+
+// Standalone helpers reused by tests/tools.
+void hh_histogram(const uint8_t* data, size_t n, uint64_t out[256]) {
+  Histogram(data, n, out);
+}
+
+}  // extern "C"

@@ -1,0 +1,52 @@
+"""Native C++ host codec: bit-exact parity with the golden model.
+
+The cross-implementation equivalence idea of the reference's
+AvxCheckCompressor (huffman_test.cpp:15-32) applied to the native
+runtime: identical compressed bytes AND identical decode, both ways.
+"""
+
+import numpy as np
+import pytest
+
+from huffman_tpu import golden, native
+
+from corpus import standard_cases, many_random
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no native toolchain"
+)
+
+KS = [1, 4, 32]
+
+
+@pytest.mark.parametrize("name,raw", standard_cases())
+@pytest.mark.parametrize("k", KS)
+def test_bit_exact_vs_golden(name, raw, k):
+    ours = native.compress(raw, k)
+    gold = golden.compress(raw, k)
+    assert ours == gold, f"compress mismatch ({name}, k={k})"
+    assert native.decompress(gold, k) == raw
+    assert golden.decompress(ours, k) == raw
+
+
+def test_many_random():
+    for i, raw in enumerate(many_random(20)):
+        blob = native.compress(raw, 8)
+        assert blob == golden.compress(raw, 8), f"case {i}"
+        assert native.decompress(blob, 8) == raw, f"case {i}"
+
+
+def test_histogram_matches_numpy():
+    rng = np.random.default_rng(0)
+    for n in [0, 1, 7, 8, 1000, 100003]:
+        data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        want = np.bincount(np.frombuffer(data, np.uint8), minlength=256)
+        got = native.histogram(data)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_corrupt_blob_raises():
+    raw = b"some data to compress" * 100
+    blob = native.compress(raw, 4)
+    with pytest.raises(ValueError):
+        native.decompress(blob[:10], 4)
