@@ -54,10 +54,14 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
         # fori_loop (not an unrolled Python loop) keeps the traced program
         # size independent of W — tracing the unrolled form cost tens of
         # seconds per (W, group) variant, far more than the XLA compile.
-        def row_step(w, c):
+        # Each staged slot records (symbol_index << 12) | window, so the
+        # compaction below needs no separate rank prefix pass; empty slots
+        # stay -1.
+        def row_step(w, carry):
+            c, c2 = carry
             cur = w_ref[w]
             nx = jnp.where(w + 1 < w_rows, w_ref[jnp.minimum(w + 1, w_rows - 1)], 0)
-            svals = [jnp.zeros(shape, _I32)] * slots
+            svals = [jnp.full(shape, -1, _I32)] * slots
             for j in range(32):
                 if j == 0:
                     win = (cur >> 20).astype(_I32)
@@ -68,31 +72,24 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
                     ln = ln + (win >= e).astype(_I32)
                 boundary = c == 0
                 sl = j // group
-                svals[sl] = jnp.where(boundary, win | 0x8000, svals[sl])
+                svals[sl] = jnp.where(boundary, (c2 << 12) | win, svals[sl])
                 c = jnp.where(boundary, ln - 1, c - 1)
+                c2 = c2 + boundary.astype(_I32)
             for sl in range(slots):
                 st_ref[w * slots + sl] = svals[sl]
-            return c
+            return (c, c2)
 
-        jax.lax.fori_loop(0, w_rows, row_step, jnp.zeros(shape, _I32))
+        jax.lax.fori_loop(
+            0, w_rows, row_step, (jnp.zeros(shape, _I32), jnp.zeros(shape, _I32))
+        )
 
         # ---- Stage 2: stable per-lane compaction (displacement rounds) ----
         staged = st_ref[:]
-        valid = staged >> 15
-        # Inclusive prefix sum of valid along rows (log rounds).
-        pref = valid
-        sh = 1
-        while sh < T:
-            rolled = pltpu.roll(pref, sh, 0)
-            idx = jax.lax.broadcasted_iota(_I32, pref.shape, 0)
-            pref = pref + jnp.where(idx >= sh, rolled, 0)
-            sh <<= 1
+        valid = staged >= 0
         row = jax.lax.broadcasted_iota(_I32, staged.shape, 0)
-        disp = row - (pref - 1)  # displacement toward the front
+        disp = row - (staged >> 12)  # row - rank, >= 0, monotone steps {0,1}
         # Pack: disp<<13 | (win+1); invalid rows 0.
-        packed = jnp.where(
-            valid == 1, (disp << 13) | ((staged & 0x0FFF) + 1), 0
-        )
+        packed = jnp.where(valid, (disp << 13) | ((staged & 0x0FFF) + 1), 0)
         sh = 1
         while sh < T:
             xs = _shift_down(packed, sh)
@@ -105,24 +102,24 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
 
         codes = (packed[:out_len] & 0x1FFF) - 1  # (out_len, BLK, 128)
 
-        # ---- Stage 3: length, rank, symbol ----
+        # ---- Stage 3: length, rank, symbol (small tables by lane gather) --
         lw = jnp.ones(codes.shape, _I32)
         for e in eb:
             lw = lw + (codes >= e).astype(_I32)
-        g = jnp.zeros(codes.shape, _I32)
-        for l in range(1, MAX_CODE_LEN + 1):
-            g = jnp.where(lw == l, scal_ref[0, 16 + l], g)
+        flat_rows = out_len * _BLK
+        g_tab = jnp.broadcast_to(syms_ref[2:3, :], (flat_rows, 128))
+        lw2 = lw.reshape(flat_rows, 128)
+        g = jnp.take_along_axis(g_tab, lw2, axis=1)
         # Arithmetic shift keeps empty-row codes (-1) negative so the clip
         # lands them on rank 0 (degenerate single-symbol handling).
-        rank = (codes >> (MAX_CODE_LEN - lw)) + g
+        rank = (codes.reshape(flat_rows, 128) >> (MAX_CODE_LEN - lw2)) + g
         rank = jnp.clip(rank, 0, 255)
 
-        lo = jnp.broadcast_to(syms_ref[0:1, :], (out_len * _BLK, 128))
-        hi = jnp.broadcast_to(syms_ref[1:2, :], (out_len * _BLK, 128))
-        r2 = rank.reshape(out_len * _BLK, 128)
-        a = jnp.take_along_axis(lo, r2 & 127, axis=1)
-        b = jnp.take_along_axis(hi, r2 & 127, axis=1)
-        out_ref[:] = jnp.where(r2 < 128, a, b).reshape(out_len, _BLK, 128)
+        lo = jnp.broadcast_to(syms_ref[0:1, :], (flat_rows, 128))
+        hi = jnp.broadcast_to(syms_ref[1:2, :], (flat_rows, 128))
+        a = jnp.take_along_axis(lo, rank & 127, axis=1)
+        b = jnp.take_along_axis(hi, rank & 127, axis=1)
+        out_ref[:] = jnp.where(rank < 128, a, b).reshape(out_len, _BLK, 128)
 
     return kernel
 
@@ -150,7 +147,14 @@ def decode_bitserial_pallas(words3, e_bound, g_rank, syms, *, group: int, out_le
     scal = jnp.zeros((1, 32), _I32)
     scal = scal.at[0, :14].set(e_bound.astype(_I32))
     scal = scal.at[0, 16 : 16 + 13].set(g_rank.astype(_I32))
-    syms2 = syms.astype(_I32).reshape(2, 128)
+    # VMEM tables: rows 0/1 = rank->symbol (lo/hi half), row 2 = g_rank by
+    # code length (lanes 0..12) for the post-pass lane gathers.
+    syms2 = jnp.concatenate(
+        [
+            syms.astype(_I32).reshape(2, 128),
+            jnp.zeros((1, 128), _I32).at[0, :13].set(g_rank.astype(_I32)),
+        ]
+    )
 
     kernel = _make_decode_kernel(W, group, out_len, t_rows)
     return pl.pallas_call(
@@ -159,7 +163,7 @@ def decode_bitserial_pallas(words3, e_bound, g_rank, syms, *, group: int, out_le
         in_specs=[
             pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((W, _BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (out_len, _BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
