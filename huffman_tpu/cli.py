@@ -9,24 +9,19 @@ Usage:
   python -m huffman_tpu.cli decompress IN OUT [--profile tpu|ref] [--k K]
   python -m huffman_tpu.cli roundtrip  IN      [--profile tpu|ref] [--k K]
 
-File container (tpu profile): input is split into fixed blocks
-(--block, default 16 MiB), each an independent HTP3 blob framed as
-``u32 blob_len | u32 raw_len | blob`` — so decompression can stream
-block by block.  Every block (including the tail) is zero-padded to the
-full block size before encoding so all blocks share ONE compiled kernel
-shape; ``raw_len`` trims the pad on decode.  The ref profile writes a
-single reference-compatible K-stream blob (the reference's own format
-has no container; parity configs only).
+File container (tpu profile): `huffman_tpu.container` block framing —
+fixed blocks (--block, default 16 MiB) padded to uniform size (one
+compiled kernel shape for the whole file), with per-block stored-record
+fallback for incompressible data.  The ref profile writes a single
+reference-compatible K-stream blob (the reference's own format has no
+container; parity configs only).
 """
 
 from __future__ import annotations
 
 import argparse
-import struct
 import sys
 import time
-
-FILE_MAGIC = b"HTPF"
 
 
 def _codec(profile: str, k: int | None):
@@ -52,20 +47,13 @@ def compress_file(inp: str, out: str, profile: str, k: int | None, block: int) -
             fo.write(blob)
             n_in, n_out = len(raw), len(blob)
         else:
-            fo.write(FILE_MAGIC + struct.pack("<I", block))
-            n_out = 8
-            while True:
-                raw = fi.read(block)
-                if not raw:
-                    break
-                raw_len = len(raw)
-                if raw_len < block:
-                    raw = raw + b"\0" * (block - raw_len)
-                blob = codec.compress(raw)
-                fo.write(struct.pack("<II", len(blob), raw_len))
-                fo.write(blob)
-                n_in += raw_len
-                n_out += 8 + len(blob)
+            from . import container
+
+            raw = fi.read()
+            codec.block_bytes = block
+            blob = container.compress_blocks(raw, codec, block)
+            fo.write(blob)
+            n_in, n_out = len(raw), len(blob)
     dt = time.perf_counter() - t0
     return {"in": n_in, "out": n_out, "seconds": dt}
 
@@ -81,24 +69,15 @@ def decompress_file(inp: str, out: str, profile: str, k: int | None) -> dict:
             fo.write(raw)
             n_in, n_out = len(blob), len(raw)
         else:
-            hdr = fi.read(8)
-            if hdr[:4] != FILE_MAGIC:
-                raise SystemExit("not a huffman_tpu container (bad magic)")
-            n_in = 8
-            while True:
-                lb = fi.read(8)
-                if not lb:
-                    break
-                if len(lb) != 8:
-                    raise SystemExit("truncated container (block frame)")
-                blen, raw_len = struct.unpack("<II", lb)
-                blob = fi.read(blen)
-                if len(blob) != blen:
-                    raise SystemExit("truncated container (block payload)")
-                raw = codec.decompress(blob)[:raw_len]
-                fo.write(raw)
-                n_in += 8 + blen
-                n_out += len(raw)
+            from . import container
+
+            blob = fi.read()
+            try:
+                raw = container.decompress_blocks(blob, codec)
+            except ValueError as e:
+                raise SystemExit(str(e))
+            fo.write(raw)
+            n_in, n_out = len(blob), len(raw)
     dt = time.perf_counter() - t0
     return {"in": n_in, "out": n_out, "seconds": dt}
 

@@ -1,0 +1,104 @@
+"""Block container and stored-block fallback.
+
+Two concerns the reference leaves open are handled here:
+
+* **Incompressible data** — the reference's in-repo codecs expand random
+  input; only its external Huff0 wrapper has a stored fallback
+  (huff0.cpp:23-31).  Here every block whose compressed form would be
+  larger than raw+8 is emitted as a STORED record instead, capping
+  expansion at the container framing (~16 bytes per 16 MiB block).
+* **Bounded kernel shapes** — the fused kernels are sized for blocks up
+  to ~16-32 MiB; the container splits arbitrarily large inputs into
+  fixed-size blocks (padded to uniform size so every block reuses ONE
+  compiled program) and streams them.
+
+Layout (little-endian):
+
+    u32 magic 'HTPC' | u32 block_size | u64 total_raw
+    repeat:
+      u32 rec_len | u32 raw_len | u8 kind ('H' blob / 'S' stored) | pad3
+      u8  rec[rec_len]
+
+``raw_len`` < block_size only for the final block (its pad is trimmed).
+``total_raw`` lets the reader detect a container truncated at a record
+boundary (which would otherwise parse as a shorter valid file).
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAGIC = b"HTPC"
+KIND_HUFF = 0x48  # 'H'
+KIND_STORED = 0x53  # 'S'
+
+DEFAULT_BLOCK = 16 << 20
+
+
+def pack(records: list[tuple[int, int, bytes]], block_size: int) -> bytes:
+    """records: (kind, raw_len, payload)."""
+    out = bytearray()
+    total = sum(r[1] for r in records)
+    out += MAGIC + struct.pack("<IQ", block_size, total)
+    for kind, raw_len, payload in records:
+        out += struct.pack("<IIB3x", len(payload), raw_len, kind)
+        out += payload
+    return bytes(out)
+
+
+def compress_blocks(raw: bytes, codec, block_size: int = DEFAULT_BLOCK) -> bytes:
+    """Split, pad-to-uniform, compress each block with stored fallback."""
+    records = []
+    n = len(raw)
+    pos = 0
+    while pos < n or (n == 0 and pos == 0):
+        chunk = raw[pos : pos + block_size]
+        raw_len = len(chunk)
+        # Pad-to-uniform only helps when there are MULTIPLE blocks (all
+        # blocks then reuse one compiled shape); a single short file
+        # compresses at its natural size.
+        if raw_len and raw_len < block_size and n > block_size:
+            chunk = chunk + b"\0" * (block_size - raw_len)
+        one = getattr(codec, "_compress_blob", codec.compress)
+        blob = one(chunk) if raw_len else b""
+        if raw_len and len(blob) >= raw_len + 8:
+            records.append((KIND_STORED, raw_len, raw[pos : pos + raw_len]))
+        else:
+            records.append((KIND_HUFF, raw_len, blob))
+        pos += block_size
+        if n == 0:
+            break
+    return pack(records, block_size)
+
+
+def decompress_blocks(data: bytes, codec) -> bytes:
+    buf = memoryview(data)
+    if len(buf) < 16 or bytes(buf[:4]) != MAGIC:
+        raise ValueError("not a huffman_tpu container (bad magic)")
+    _block_size, total_raw = struct.unpack_from("<IQ", buf, 4)
+    pos = 16
+    out = bytearray()
+    while pos < len(buf):
+        if pos + 12 > len(buf):
+            raise ValueError("truncated container (record header)")
+        rec_len, raw_len, kind = struct.unpack_from("<IIB", buf, pos)
+        pos += 12
+        if pos + rec_len > len(buf):
+            raise ValueError("truncated container (record payload)")
+        rec = bytes(buf[pos : pos + rec_len])
+        pos += rec_len
+        if kind == KIND_STORED:
+            if len(rec) != raw_len:
+                raise ValueError("stored record length mismatch")
+            out += rec
+        elif kind == KIND_HUFF:
+            if raw_len == 0:
+                continue
+            out += codec.decompress(rec)[:raw_len]
+        else:
+            raise ValueError(f"unknown record kind {kind:#x}")
+    if len(out) != total_raw:
+        raise ValueError(
+            f"container truncated: decoded {len(out)} of {total_raw} bytes"
+        )
+    return bytes(out)

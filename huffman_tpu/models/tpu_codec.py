@@ -76,8 +76,11 @@ def default_lanes(n: int) -> int:
     kernels guard and fall back, so prefer block framing above that).
     """
     if n <= 0:
-        return 1024
-    k = 1 << max(10, min(17, (-(-n // 128)).bit_length() - 1))
+        return 8
+    # Small inputs scale K down (8 minimum) — per-lane header overhead
+    # would otherwise dominate; the Pallas fast path needs K >= 1024,
+    # which n >= 128 KiB reaches naturally.
+    k = 1 << max(3, min(17, (-(-n // 128)).bit_length() - 1))
     return k
 
 
@@ -240,9 +243,12 @@ class TpuCodec:
         if m["num_syms"] <= 1:
             sym = int(m["sorted_syms"][0]) if m["num_syms"] else 0
             return jnp.full((n,), sym, jnp.uint8)
-        # Bucket the data-dependent statics (group to powers of two, W to
-        # multiples of 4) so similar blocks share one compiled program.
-        group = 1 << min(max(1, min(m["l_min"], 32)).bit_length() - 1, 3)
+        # Bucket the data-dependent statics (group to a small fixed set, W
+        # to multiples of 4) so similar blocks share one compiled program.
+        # Larger group => fewer staged rows => cheaper compaction; any
+        # group <= l_min is correct (one emit max per group).
+        l_min = max(1, min(m["l_min"], 32))
+        group = max(g for g in (1, 2, 3, 4, 6, 8) if g <= l_min)
         w = (m["max_bits"] + 31) // 32
         w = min(-(-w // 4) * 4, (s * MAX_CODE_LEN + 31) // 32 + 1)
         words = comp.words
@@ -263,11 +269,34 @@ class TpuCodec:
 
     # ---------- bytes API ----------
 
-    def compress(self, raw: bytes) -> bytes:
+    #: Inputs above this go through the block container (bounded kernel
+    #: shapes, one compiled program per block size).
+    block_bytes = 16 << 20
+
+    def _compress_blob(self, raw: bytes) -> bytes:
         comp = self.encode_device(jnp.asarray(np.frombuffer(raw, dtype=np.uint8)))
         return self.serialize(comp)
 
+    def compress(self, raw: bytes) -> bytes:
+        from .. import container
+
+        n = len(raw)
+        if n > self.block_bytes:
+            return container.compress_blocks(raw, self, self.block_bytes)
+        blob = self._compress_blob(raw)
+        if n > 0 and len(blob) >= n + 8:
+            # Incompressible: stored record (the fallback the reference's
+            # in-repo codecs lack; its Huff0 wrapper has one, huff0.cpp:23-31).
+            return container.pack(
+                [(container.KIND_STORED, n, raw)], self.block_bytes
+            )
+        return blob
+
     def decompress(self, blob: bytes) -> bytes:
+        from .. import container
+
+        if blob[:4] == container.MAGIC:
+            return container.decompress_blocks(blob, self)
         comp = self.deserialize(blob)
         return np.asarray(self.decode_device(comp)).tobytes()
 
@@ -287,6 +316,10 @@ class TpuCodec:
             if c:
                 out.append(c & 0xFF)
         out += cc.sorted_syms.tobytes()
+        if cc.num_syms <= 1:
+            # Degenerate coding: zero-length codes, zero payload bits —
+            # the bit-count array and payload are implicit.
+            return bytes(out)
         while len(out) % 2:
             out.append(0)
         out += bits.astype("<u4" if wide else "<u2").tobytes()
@@ -305,33 +338,81 @@ class TpuCodec:
         return bytes(out)
 
     def deserialize(self, blob: bytes) -> TpuCompressed:
+        """Parse a tpu-profile blob.
+
+        Unlike the reference ("not hardened against malformed input",
+        README.md:140-146), every structural field is validated; corrupt
+        input raises ValueError rather than crashing downstream.
+        """
         buf = memoryview(blob)
+        if len(buf) < 16:
+            raise ValueError("blob too short for header")
         magic, raw_size, k, len_mask = struct.unpack_from("<IIII", buf, 0)
-        assert magic == MAGIC, "not a tpu-profile blob"
+        if magic != MAGIC:
+            raise ValueError("not a tpu-profile blob (bad magic)")
         wide = bool(len_mask >> 24)
         len_mask &= (1 << 24) - 1
+        if not (1 <= k <= 1 << 22):
+            raise ValueError(f"implausible lane count {k}")
+        if len_mask >> (MAX_CODE_LEN + 1):
+            raise ValueError("len_mask has lengths beyond MAX_CODE_LEN")
         pos = 16
         len_count = np.zeros(MAX_CODE_LEN + 1, dtype=np.uint16)
         one_size = bin(len_mask).count("1") == 1
         num_syms = 0
         for ln in range(MAX_CODE_LEN + 1):
             if len_mask & (1 << ln):
+                if pos >= len(buf):
+                    raise ValueError("truncated length counts")
                 c = buf[pos]
                 pos += 1
+                if c == 0 and not one_size:
+                    raise ValueError("zero count for flagged length")
                 if one_size and c == 0:
                     c = 256
                 len_count[ln] = c
                 num_syms += c
+        if num_syms > 256:
+            raise ValueError(f"{num_syms} symbols > 256")
+        if num_syms > 1:
+            kraft = int(
+                (len_count.astype(np.int64) << (MAX_CODE_LEN - np.arange(13))).sum()
+            )
+            if kraft != 1 << MAX_CODE_LEN:
+                raise ValueError("length counts violate Kraft equality")
+        if pos + num_syms > len(buf):
+            raise ValueError("truncated symbol table")
         sorted_syms = np.frombuffer(buf[pos : pos + num_syms], dtype=np.uint8).copy()
         pos += num_syms
+        if num_syms <= 1:
+            bits = np.zeros(k, dtype=np.int64)
+            flat = np.frombuffer(b"", dtype=np.uint8)
+            return self._finish_deserialize(
+                raw_size, k, len_count, sorted_syms, num_syms, bits, flat
+            )
         pos = (pos + 1) & ~1
         cw = 4 if wide else 2
+        if pos + cw * k > len(buf):
+            raise ValueError("truncated bit counts")
         bits = np.frombuffer(
             buf[pos : pos + cw * k], dtype="<u4" if wide else "<u2"
         ).astype(np.int64)
         pos += cw * k
         flat = np.frombuffer(buf[pos:], dtype=np.uint8)
 
+        s = -(-raw_size // k) if raw_size else 0
+        if int(bits.max(initial=0)) > max(s, 1) * MAX_CODE_LEN:
+            raise ValueError("per-lane bit count exceeds slice capacity")
+        nbytes = (bits + 7) // 8
+        if int(nbytes.sum()) > len(flat):
+            raise ValueError("payload shorter than bit counts imply")
+        return self._finish_deserialize(
+            raw_size, k, len_count, sorted_syms, num_syms, bits, flat
+        )
+
+    def _finish_deserialize(
+        self, raw_size, k, len_count, sorted_syms, num_syms, bits, flat
+    ) -> TpuCompressed:
         nbytes = (bits + 7) // 8
         wmax = max(int((bits.max(initial=0) + 31) // 32), 1)
         lane_bytes = np.zeros((k, 4 * wmax), dtype=np.uint8)

@@ -39,8 +39,10 @@ from jax import shard_map
 
 from ..constants import MAX_CODE_LEN
 from ..ops.decode_bits import decode_bitserial
+from ..ops.decode_pallas import decode_bitserial_pallas
 from ..ops.decode_words import pack_u16_words_to_u32
 from ..ops.encode import encode_lanes
+from ..ops.encode_pallas import encode_lanes_pallas
 from ..ops.lookup import histogram256
 from ..ops.table_build import build_coding_device
 
@@ -87,6 +89,14 @@ def sharded_roundtrip(data, *, mesh, k, s, w32, group=1):
     """
     n_stream = mesh.shape["stream"]
     k_local = k // n_stream
+    # Fused Pallas kernels on accelerator backends when the per-device
+    # shard shapes fit their guards (same conditions as models/tpu_codec).
+    use_pallas = (
+        jax.default_backend() != "cpu"
+        and k_local % 1024 == 0
+        and 2 <= s <= 256
+        and w32 * (-(-32 // group)) <= 1024
+    )
 
     def step(blocks):  # blocks: (B_local, k_local * s) u8
         def one(block):
@@ -97,10 +107,18 @@ def sharded_roundtrip(data, *, mesh, k, s, w32, group=1):
             hist = jax.lax.psum(hist, "stream")
             t = build_coding_device(hist)
 
-            valid = jnp.ones((s, k_local), bool)
-            words16, word_counts, bit_counts = encode_lanes(
-                byte_mat, valid, t["enc_table"]
-            )
+            if use_pallas:
+                w3, bits3 = encode_lanes_pallas(
+                    byte_mat.reshape(s, k_local // 128, 128), t["enc_table"]
+                )
+                words16 = w3.reshape(w3.shape[0], k_local)
+                bit_counts = bits3.reshape(k_local)
+                word_counts = (bit_counts + 15) >> 4
+            else:
+                valid = jnp.ones((s, k_local), bool)
+                words16, word_counts, bit_counts = encode_lanes(
+                    byte_mat, valid, t["enc_table"]
+                )
             rows = words16.shape[0]
             if rows < 2 * w32:
                 words16 = jnp.concatenate(
@@ -112,15 +130,26 @@ def sharded_roundtrip(data, *, mesh, k, s, w32, group=1):
                 words16, jnp.minimum(word_counts, 2 * w32)
             )
 
-            out = decode_bitserial(
-                words32,
-                bit_counts,
-                t["e_bound"],
-                t["g_rank"],
-                t["sorted_syms"],
-                group=group,
-                out_len=s,
-            )
+            if use_pallas:
+                out3 = decode_bitserial_pallas(
+                    words32.reshape(w32, k_local // 128, 128),
+                    t["e_bound"],
+                    t["g_rank"],
+                    t["sorted_syms"],
+                    group=group,
+                    out_len=s,
+                )
+                out = out3.reshape(s, k_local).astype(jnp.uint8)
+            else:
+                out = decode_bitserial(
+                    words32,
+                    bit_counts,
+                    t["e_bound"],
+                    t["g_rank"],
+                    t["sorted_syms"],
+                    group=group,
+                    out_len=s,
+                )
             return out.T.reshape(-1), bit_counts, words32
 
         return jax.vmap(one)(blocks)

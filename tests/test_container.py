@@ -1,0 +1,102 @@
+"""Block container, stored fallback, and malformed-input handling.
+
+The reference is explicitly NOT hardened against malformed input
+(reference README.md:140-146) and its in-repo codecs expand
+incompressible data (only its external Huff0 wrapper has a stored mode,
+huff0.cpp:23-31).  Both gaps are closed here.
+"""
+
+import numpy as np
+import pytest
+
+from huffman_tpu import container
+from huffman_tpu.models.tpu_codec import TpuCodec
+
+
+def _rand(n, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, size=n, dtype=np.uint8).tobytes()
+
+
+def test_incompressible_uses_stored():
+    raw = _rand(1 << 16)
+    blob = TpuCodec().compress(raw)
+    assert blob[:4] == container.MAGIC
+    # Expansion capped at the framing.
+    assert len(blob) <= len(raw) + 32
+    assert TpuCodec().decompress(blob) == raw
+
+
+def test_compressible_stays_blob():
+    raw = b"a" * 10000 + b"b" * 5000
+    blob = TpuCodec().compress(raw)
+    assert blob[:4] != container.MAGIC
+    assert TpuCodec().decompress(blob) == raw
+
+
+def test_multiblock_roundtrip():
+    c = TpuCodec()
+    c.block_bytes = 1 << 16  # small blocks to exercise framing cheaply
+    rng = np.random.default_rng(1)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    raw = rng.choice(256, size=(3 << 16) + 12345, p=p).astype(np.uint8).tobytes()
+    blob = c.compress(raw)
+    assert blob[:4] == container.MAGIC
+    assert TpuCodec().decompress(blob) == raw
+
+
+def test_mixed_blocks():
+    """Compressible and incompressible blocks mix stored/huff records."""
+    c = TpuCodec()
+    c.block_bytes = 1 << 16
+    raw = b"z" * (1 << 16) + _rand(1 << 16, seed=2) + b"y" * 1000
+    blob = c.compress(raw)
+    assert TpuCodec().decompress(blob) == raw
+
+
+def test_empty_container_paths():
+    assert TpuCodec().decompress(TpuCodec().compress(b"")) == b""
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[: len(b) // 2],  # truncation
+        lambda b: b"XXXX" + b[4:],  # bad magic
+        lambda b: b[:8],  # header only
+        lambda b: b[:12] + b"\xff\xff\xff\xff" + b[16:],  # absurd field
+    ],
+)
+def test_malformed_container_raises(mutate):
+    c = TpuCodec()
+    c.block_bytes = 1 << 16
+    blob = c.compress(_rand(1 << 16, seed=3))  # container (stored)
+    bad = mutate(bytearray(blob))
+    with pytest.raises((ValueError, SystemExit)):
+        container.decompress_blocks(bytes(bad), c)
+
+
+def test_malformed_blob_raises_or_decodes():
+    """Byte corruptions of a tpu-profile blob must raise ValueError or
+    produce (possibly wrong) bytes — never an uncontrolled exception."""
+    raw = (b"hello world " * 5000)[: 1 << 16]
+    blob = bytearray(TpuCodec().compress(raw))
+    assert bytes(blob[:4]) != container.MAGIC
+    rng = np.random.default_rng(4)
+    for _ in range(25):
+        bad = bytearray(blob)
+        i = int(rng.integers(0, len(bad)))
+        bad[i] ^= int(rng.integers(1, 256))
+        try:
+            out = TpuCodec().decompress(bytes(bad))
+            assert isinstance(out, bytes)
+        except ValueError:
+            pass
+
+
+def test_truncated_blob_every_prefix():
+    raw = b"abcabcabc" * 300
+    blob = TpuCodec().compress(raw)
+    for cut in range(0, min(len(blob), 64)):
+        with pytest.raises(ValueError):
+            TpuCodec().decompress(blob[:cut])

@@ -1,0 +1,91 @@
+"""Pallas kernels vs XLA kernels, bit-for-bit, in interpret mode on CPU.
+
+The fused TPU kernels normally only run on hardware; interpret mode lets
+the suite pin their semantics against the XLA reference implementations
+(the same cross-implementation idea as the reference's
+AvxCheckCompressor, huffman_test.cpp:15-32).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from huffman_tpu import coding
+from huffman_tpu.ops import tables
+from huffman_tpu.ops.decode_bits import decode_bitserial, decode_tables_bitserial
+from huffman_tpu.ops.decode_pallas import decode_bitserial_pallas
+from huffman_tpu.ops.encode import encode_lanes
+from huffman_tpu.ops.encode_pallas import encode_lanes_pallas
+from huffman_tpu.ops.decode_words import pack_u16_words_to_u32
+
+
+def _setup(seed=0, k=1024, s=32, style="biased"):
+    rng = np.random.default_rng(seed)
+    if style == "biased":
+        p = 0.8 ** np.arange(256) * 0.2
+        p /= p.sum()
+        data = rng.choice(256, size=k * s, p=p).astype(np.uint8)
+    else:
+        data = rng.integers(0, 256, size=k * s, dtype=np.uint8)
+    hist = np.bincount(data, minlength=256)
+    cc = coding.make_canonical_coding(hist.astype(np.uint64))
+    enc_table = jnp.asarray(tables.pack_encode_table(cc).astype(np.int32))
+    t = decode_tables_bitserial(cc.len_count, cc.sorted_syms)
+    b2 = jnp.asarray(data).reshape(k, s).T.astype(jnp.int32)
+    return data, cc, enc_table, t, b2
+
+
+@pytest.mark.parametrize("style", ["biased", "uniform"])
+def test_encode_kernel_matches_xla(style):
+    k, s = 1024, 32
+    data, cc, enc_table, t, b2 = _setup(style=style, k=k, s=s)
+    valid = jnp.ones((s, k), bool)
+    w_ref, wc_ref, bits_ref = encode_lanes(b2, valid, enc_table)
+    with pltpu.force_tpu_interpret_mode():
+        w_p, bits_p = encode_lanes_pallas(b2.reshape(s, k // 128, 128), enc_table)
+    w_p2 = np.asarray(w_p).reshape(w_p.shape[0], k)
+    rows = min(w_p2.shape[0], np.asarray(w_ref).shape[0])
+    np.testing.assert_array_equal(
+        np.asarray(bits_p).reshape(-1), np.asarray(bits_ref)
+    )
+    np.testing.assert_array_equal(w_p2[:rows], np.asarray(w_ref)[:rows])
+    assert not np.asarray(w_ref)[rows:].any()
+    assert not w_p2[rows:].any()
+
+
+@pytest.mark.parametrize("style", ["biased", "uniform"])
+def test_decode_kernel_matches_xla(style):
+    k, s = 1024, 32
+    data, cc, enc_table, t, b2 = _setup(style=style, k=k, s=s)
+    valid = jnp.ones((s, k), bool)
+    w16, wc, bits = encode_lanes(b2, valid, enc_table)
+    from huffman_tpu.constants import MAX_CODE_LEN
+
+    w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
+    w16p = jnp.concatenate(
+        [w16, jnp.zeros((2 * w32c - w16.shape[0], k), w16.dtype)]
+    )
+    words32 = pack_u16_words_to_u32(w16p, jnp.minimum(wc, 2 * w32c))
+    w = int((np.asarray(bits).max() + 31) // 32)
+    words = jnp.asarray(np.asarray(words32[:w]))
+    group = max(1, min(t["l_min"], 32))
+    eb, gr, sy = (
+        jnp.asarray(t["e_bound"]),
+        jnp.asarray(t["g_rank"]),
+        jnp.asarray(t["syms"]),
+    )
+    out_x = decode_bitserial(
+        words, jnp.asarray(np.asarray(bits)), eb, gr, sy, group=group, out_len=s
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out_p = decode_bitserial_pallas(
+            words.reshape(w, k // 128, 128), eb, gr, sy, group=group, out_len=s
+        )
+    np.testing.assert_array_equal(
+        np.asarray(out_p).reshape(s, k).astype(np.uint8), np.asarray(out_x)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_x).T.reshape(-1), data
+    )
