@@ -28,6 +28,8 @@ from .coding import (
 )
 from .format import ParsedHeader, parse_header, slice_sizes, write_header
 from .golden import GoldenCodec, compress, decompress
+from . import container, native
+from .utils import debug
 
 __all__ = [
     "MAX_CODE_LEN",

@@ -227,13 +227,21 @@ struct BitWriter {
   inline void Put(uint32_t code12, int len) {
     acc |= (uint64_t)code12 << (52 - nbits);
     nbits += len;
-    while (nbits >= 8) {
-      *(--end) = (uint8_t)(acc >> 56);
-      acc <<= 8;
-      nbits -= 8;
-    }
+  }
+  // Bulk flush of all whole bytes with ONE unaligned store: on a
+  // little-endian machine the u64's byte j lands at end-8+j, so byte 7
+  // (acc>>56, the oldest bits) lands at end-1 — exactly the backward
+  // layout.  Safe because every region has kSlop low bytes never read.
+  inline void FlushBulk() {
+    uint64_t w = acc;
+    std::memcpy(end - 8, &w, 8);
+    int nb = nbits >> 3;
+    end -= nb;
+    acc <<= 8 * nb;
+    nbits -= 8 * nb;
   }
   inline void Finish() {
+    FlushBulk();
     if (nbits > 0) {
       *(--end) = (uint8_t)(acc >> 56);
       acc = 0;
@@ -253,6 +261,23 @@ struct BitReader {
   BitReader(const uint8_t* region_begin, const uint8_t* region_end)
       : begin(region_begin), next(region_end) {}
   inline void Fill() {
+    if (next - begin >= 8) {
+      // Bulk refill: one unaligned load + bswap delivers the next 8
+      // stream bytes (they sit just below `next`, newest at the lowest
+      // address).  Mask to whole bytes so no future bits leak in.
+      // Little-endian load: memory byte next-1 (the next stream byte)
+      // lands in the TOP u64 byte, subsequent stream bytes below it.
+      uint64_t w;
+      std::memcpy(&w, next - 8, 8);
+      int need = (63 - navail) >> 3;
+      if (need) {
+        uint64_t take = w & (~0ull << (64 - 8 * need));
+        buf |= take >> navail;
+        next -= need;
+        navail += 8 * need;
+      }
+      return;
+    }
     while (navail <= 56) {
       uint8_t b = (next > begin) ? *(--next) : 0;
       buf |= (uint64_t)b << (56 - navail);
@@ -349,13 +374,19 @@ size_t hh_compress(const uint8_t* data, size_t n, int k, uint8_t* out,
     size_t m = sizes[s];
     size_t i = 0;
     for (; i + 4 <= m; i += 4) {
+      // 4 codes (<= 48 bits) per bulk flush, as the reference's writer
+      // batches 4 WriteFast per Flush (huffman.cpp:832-836).
       bw.Put(cc.code_bits[p[i]], cc.code_lens[p[i]]);
       bw.Put(cc.code_bits[p[i + 1]], cc.code_lens[p[i + 1]]);
       bw.Put(cc.code_bits[p[i + 2]], cc.code_lens[p[i + 2]]);
       bw.Put(cc.code_bits[p[i + 3]], cc.code_lens[p[i + 3]]);
+      bw.FlushBulk();
     }
     for (; i < m; ++i) bw.Put(cc.code_bits[p[i]], cc.code_lens[p[i]]);
     bw.Finish();
+    // Bulk flushes smear not-yet-final bits below the final stream head;
+    // the format keeps slop bytes zero (bit-exact vs the golden model).
+    std::memset(pay + rstart, 0, (size_t)(bw.end - (pay + rstart)));
     off += m;
     rstart += region[s];
   }
@@ -417,29 +448,30 @@ size_t hh_decompress(const uint8_t* blob, size_t blob_len, int k,
   std::vector<size_t> sizes;
   SliceSizes(n, k, sizes);
 
-  size_t oo = 0, rstart = 0;
-  for (int s = 0; s < k; ++s) {
-    size_t rend = endoff[s];
-    if (rend > pay_len || rend < rstart) return (size_t)-1;
-    BitReader br(pay + rstart, pay + rend);
-    uint8_t* op = out + oo;
-    size_t m = sizes[s];
-    size_t i = 0;
-    while (i + 8 <= m) {
-      br.Fill();
-      // 4 two-symbol decodes per refill: <= 4*24 bits < 56 guaranteed
-      // only for... 4*24=96 > 56, so refill every 2 decodes instead.
-      const D2& a = t2[br.Peek12()];
-      op[i] = a.s0;
-      op[i + 1] = a.s1;
-      i += a.nsyms;
-      br.Consume(a.nbits);
-      const D2& b = t2[br.Peek12()];
-      op[i] = b.s0;
-      op[i + 1] = b.s1;
-      i += b.nsyms;
-      br.Consume(b.nbits);
+  // Stream bounds.
+  std::vector<size_t> rbeg(k), rend(k), obeg(k);
+  {
+    size_t rstart = 0, oo = 0;
+    for (int s = 0; s < k; ++s) {
+      rbeg[s] = rstart;
+      rend[s] = endoff[s];
+      if (rend[s] > pay_len || rend[s] < rstart) return (size_t)-1;
+      obeg[s] = oo;
+      rstart = rend[s];
+      oo += sizes[s];
     }
+  }
+
+  // Hot loop: decode FOUR streams in lockstep so the superscalar core
+  // keeps four dependency chains in flight — the reference's central
+  // multi-stream insight (README.md:15-27; interleaved loop
+  // huffman.cpp:931-948), our own loop structure.
+  auto finish_stream = [&](int s, size_t i) {
+    BitReader br(pay + rbeg[s], pay + rend[s]);
+    // Re-derive reader state by replaying is not possible; instead this
+    // helper is only used from a fresh reader at i==0 (scalar path).
+    uint8_t* op = out + obeg[s];
+    size_t m = sizes[s];
     while (i + 2 <= m) {
       br.Fill();
       const D2& e = t2[br.Peek12()];
@@ -454,9 +486,80 @@ size_t hh_decompress(const uint8_t* blob, size_t blob_len, int k,
       op[i++] = e.sym;
       br.Consume(e.len);
     }
-    oo += m;
-    rstart = rend;
+  };
+
+  int s0 = 0;
+  for (; s0 + 4 <= k; s0 += 4) {
+    BitReader br0(pay + rbeg[s0 + 0], pay + rend[s0 + 0]);
+    BitReader br1(pay + rbeg[s0 + 1], pay + rend[s0 + 1]);
+    BitReader br2(pay + rbeg[s0 + 2], pay + rend[s0 + 2]);
+    BitReader br3(pay + rbeg[s0 + 3], pay + rend[s0 + 3]);
+    uint8_t* o0 = out + obeg[s0 + 0];
+    uint8_t* o1 = out + obeg[s0 + 1];
+    uint8_t* o2 = out + obeg[s0 + 2];
+    uint8_t* o3 = out + obeg[s0 + 3];
+    size_t i0 = 0, i1 = 0, i2 = 0, i3 = 0;
+    size_t m0 = sizes[s0], m1 = sizes[s0 + 1], m2 = sizes[s0 + 2],
+           m3 = sizes[s0 + 3];
+    size_t mmin = std::min(std::min(m0, m1), std::min(m2, m3));
+    size_t guard = (mmin >= 5) ? mmin - 5 : 0;  // 2 rounds x <=2 syms + s1 slot
+    size_t imax = 0;
+    while (imax < guard) {
+      br0.Fill();
+      br1.Fill();
+      br2.Fill();
+      br3.Fill();
+      // Two D2 decodes per stream per refill (<= 48 bits consumed).
+      for (int rep = 0; rep < 2; ++rep) {
+        const D2& a0 = t2[br0.Peek12()];
+        const D2& a1 = t2[br1.Peek12()];
+        const D2& a2 = t2[br2.Peek12()];
+        const D2& a3 = t2[br3.Peek12()];
+        o0[i0] = a0.s0;
+        o0[i0 + 1] = a0.s1;
+        o1[i1] = a1.s0;
+        o1[i1 + 1] = a1.s1;
+        o2[i2] = a2.s0;
+        o2[i2 + 1] = a2.s1;
+        o3[i3] = a3.s0;
+        o3[i3 + 1] = a3.s1;
+        i0 += a0.nsyms;
+        i1 += a1.nsyms;
+        i2 += a2.nsyms;
+        i3 += a3.nsyms;
+        br0.Consume(a0.nbits);
+        br1.Consume(a1.nbits);
+        br2.Consume(a2.nbits);
+        br3.Consume(a3.nbits);
+      }
+      imax = std::max(std::max(i0, i1), std::max(i2, i3));
+    }
+    // Tails, one stream at a time with the live reader state.
+    BitReader* brs[4] = {&br0, &br1, &br2, &br3};
+    uint8_t* ops[4] = {o0, o1, o2, o3};
+    size_t is[4] = {i0, i1, i2, i3};
+    size_t ms[4] = {m0, m1, m2, m3};
+    for (int j = 0; j < 4; ++j) {
+      BitReader& br = *brs[j];
+      uint8_t* op = ops[j];
+      size_t i = is[j], m = ms[j];
+      while (i + 2 <= m) {
+        br.Fill();
+        const D2& e = t2[br.Peek12()];
+        op[i] = e.s0;
+        op[i + 1] = e.s1;
+        i += e.nsyms;
+        br.Consume(e.nbits);
+      }
+      while (i < m) {
+        br.Fill();
+        const D1& e = t1[br.Peek12()];
+        op[i++] = e.sym;
+        br.Consume(e.len);
+      }
+    }
   }
+  for (; s0 < k; ++s0) finish_stream(s0, 0);
   return n;
 }
 
