@@ -139,16 +139,22 @@ def _encode_full(data, s: int, k: int, w32: int, use_pallas: bool):
     padded = jnp.concatenate([data, jnp.zeros((pad,), jnp.uint8)])
     hist = histogram256(padded)
     t = build_coding_device(hist)
+    words32, bit_counts = _encode_with_tables_body(
+        padded, t["enc_table"], s, k, w32, use_pallas
+    )
+    return words32, bit_counts, t
 
+
+def _encode_with_tables_body(padded, enc_table, s, k, w32, use_pallas):
     b2 = padded.reshape(k, s).T.astype(jnp.int32)
     if use_pallas:
-        w3, bits3 = encode_lanes_pallas(b2.reshape(s, k // 128, 128), t["enc_table"])
+        w3, bits3 = encode_lanes_pallas(b2.reshape(s, k // 128, 128), enc_table)
         words16 = w3.reshape(w3.shape[0], k)
         bit_counts = bits3.reshape(k)
         word_counts = (bit_counts + 15) >> 4
     else:
         valid = jnp.ones((s, k), bool)
-        words16, word_counts, bit_counts = encode_lanes(b2, valid, t["enc_table"])
+        words16, word_counts, bit_counts = encode_lanes(b2, valid, enc_table)
 
     rows = words16.shape[0]
     if rows < 2 * w32:
@@ -158,7 +164,50 @@ def _encode_full(data, s: int, k: int, w32: int, use_pallas: bool):
     else:
         words16 = jax.lax.slice_in_dim(words16, 0, 2 * w32, axis=0)
     words32 = pack_u16_words_to_u32(words16, jnp.minimum(word_counts, 2 * w32))
-    return words32, bit_counts, t
+    return words32, bit_counts
+
+
+@functools.partial(jax.jit, static_argnames=("s", "k", "w32", "use_pallas"))
+def _encode_with_tables(data, enc_table, s: int, k: int, w32: int, use_pallas: bool):
+    """Encode with a pre-built (shared/dictionary) table: no histogram, no
+    table construction — the streaming fast path."""
+    pad = s * k - data.shape[0]
+    padded = jnp.concatenate([data, jnp.zeros((pad,), jnp.uint8)])
+    return _encode_with_tables_body(padded, enc_table, s, k, w32, use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "k", "w32", "use_pallas"))
+def _encode_batch(blocks, s: int, k: int, w32: int, use_pallas: bool):
+    """vmapped full pipeline over B equal-size blocks, each with its own
+    table.  Batching amortizes the serial table-build loop: its ~255
+    scalar iterations run element-parallel across the whole batch, so B
+    tables cost barely more than one."""
+
+    def one(block):
+        hist = histogram256(block)
+        t = build_coding_device(hist)
+        words32, bit_counts = _encode_with_tables_body(
+            block, t["enc_table"], s, k, w32, use_pallas
+        )
+        return words32, bit_counts, t
+
+    return jax.vmap(one)(blocks)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "group", "w", "use_pallas"))
+def _decode_batch(words, e_bound, g_rank, syms, s: int, group: int, w: int, use_pallas: bool):
+    def one(wds, eb, gr, sy):
+        k = wds.shape[1]
+        if use_pallas:
+            w3 = jax.lax.slice_in_dim(wds, 0, w, axis=0).reshape(w, k // 128, 128)
+            out3 = decode_bitserial_pallas(w3, eb, gr, sy, group=group, out_len=s)
+            return out3.reshape(s, k).astype(jnp.uint8)
+        wt = jax.lax.slice_in_dim(wds, 0, max(w, 1), axis=0)
+        return decode_bitserial(
+            wt, jnp.zeros((k,), jnp.int32), eb, gr, sy, group=group, out_len=s
+        )
+
+    return jax.vmap(one)(words, e_bound, g_rank, syms)
 
 
 @functools.partial(jax.jit, static_argnames=("s", "n", "group", "w"))
@@ -202,7 +251,19 @@ class TpuCodec:
 
     # ---------- device API ----------
 
-    def encode_device(self, data: jax.Array) -> TpuCompressed:
+    def build_tables(self, sample: jax.Array, full_alphabet: bool = True) -> dict:
+        """Build a shared (dictionary) coding from sample data, on device.
+
+        With ``full_alphabet`` every byte value gets a nonzero count, so
+        the table can encode ANY later block (at a tiny ratio cost); this
+        is the reference's one-table-for-K-streams sharing
+        (huffman.cpp:762-768) lifted across blocks — pass the result to
+        `encode_device(..., tables=...)` to skip per-block histogram and
+        table construction entirely (streaming fast path).
+        """
+        return _build_tables_jit(sample, full_alphabet)
+
+    def encode_device(self, data: jax.Array, tables: dict | None = None) -> TpuCompressed:
         """Compress a device-resident uint8 array; stays on device.
 
         The whole pipeline (histogram, canonical table build — the device
@@ -225,7 +286,13 @@ class TpuCodec:
         # The fused encode kernel's working set is ~16 int32 (S, 8, 128)
         # arrays per grid step; above S=256 it exceeds the 16 MiB VMEM.
         use_pallas = _pallas_ok(k) and 2 <= s <= 256
-        words32, bit_counts, t = _encode_full(data, s, k, w32, use_pallas)
+        if tables is not None:
+            words32, bit_counts = _encode_with_tables(
+                data, tables["enc_table"], s, k, w32, use_pallas
+            )
+            t = tables
+        else:
+            words32, bit_counts, t = _encode_full(data, s, k, w32, use_pallas)
         return TpuCompressed(
             words=words32, bit_counts=bit_counts, raw_size=n, k=k, tables=t
         )
@@ -266,6 +333,52 @@ class TpuCodec:
             group,
             w,
         )
+
+    # ---------- batched device API ----------
+
+    def encode_batch(self, blocks: jax.Array):
+        """Compress B equal-size blocks in one program, one table each.
+
+        Args:
+          blocks: (B, n_block) uint8.
+        Returns:
+          (words (B, W, K) u32, bit_counts (B, K) i32, tables dict of
+          batched arrays) — feed to `decode_batch`.
+        """
+        bcount, nb = blocks.shape
+        k = self._lanes(nb)
+        s = -(-nb // k)
+        assert s * k == nb, "block size must be divisible by the lane count"
+        w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
+        use_pallas = _pallas_ok(k) and 2 <= s <= 256
+        return _encode_batch(blocks, s, k, w32, use_pallas)
+
+    def decode_batch(self, words, bit_counts, tables, n_block: int):
+        """Inverse of `encode_batch` (blocks of identical raw size)."""
+        bcount, _, k = words.shape
+        s = -(-n_block // k)
+        bits = np.asarray(bit_counts)
+        lc = np.asarray(tables["len_count"])
+        nzmask = lc[:, 1:] > 0
+        l_min = min(
+            int(np.argmax(row) + 1) if row.any() else 1 for row in nzmask
+        )
+        group = max(g for g in (1, 2, 3, 4, 6, 8) if g <= max(1, l_min))
+        w = int((bits.max() + 31) // 32)
+        w = max(min(-(-w // 4) * 4, words.shape[1]), 1)
+        slots = -(-32 // group)
+        use_pallas = _pallas_ok(k) and w * slots <= 1024
+        out = _decode_batch(
+            words,
+            tables["e_bound"],
+            tables["g_rank"],
+            tables["sorted_syms"],
+            s,
+            group,
+            w,
+            use_pallas,
+        )
+        return out  # (B, S, K); caller reshapes per block
 
     # ---------- bytes API ----------
 
@@ -445,6 +558,14 @@ class TpuCodec:
             tables=tables,
             _meta=meta,
         )
+
+
+@functools.partial(jax.jit, static_argnames=("full_alphabet",))
+def _build_tables_jit(sample, full_alphabet: bool):
+    hist = histogram256(sample)
+    if full_alphabet:
+        hist = hist + 1
+    return build_coding_device(hist)
 
 
 _EMPTY_TABLES = {

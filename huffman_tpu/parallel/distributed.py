@@ -1,0 +1,54 @@
+"""Multi-host initialization and mesh construction.
+
+The reference has no distributed backend at all (SURVEY §2); this module
+is the framework's `jax.distributed` entry point for multi-host pods.
+
+Usage on each host of a pod slice:
+
+    from huffman_tpu.parallel import distributed
+    distributed.initialize()          # env-driven (TPU pods auto-detect)
+    mesh = distributed.pod_mesh(stream_per_host=True)
+
+Design notes (see SCALING.md): the `data` axis carries no communication,
+so it spans hosts/DCN freely; the `stream` axis psums 1 KiB histograms
+per block and should stay within an ICI domain.  `pod_mesh` therefore
+maps `stream` onto each host's local devices and `data` across hosts by
+default.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .sharded import make_mesh
+
+
+def initialize(**kwargs) -> None:
+    """Initialize jax.distributed (idempotent; env-driven on TPU pods)."""
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        # Single-process environment (tests, one-host runs): fine.
+        pass
+
+
+def pod_mesh(stream: int | None = None, stream_per_host: bool = False):
+    """Mesh over all global devices.
+
+    Args:
+      stream: explicit stream-axis size (must divide device count).
+      stream_per_host: if True, the stream axis size = local device
+        count, confining the histogram psum to intra-host ICI.
+    """
+    import jax
+
+    if stream is None:
+        stream = jax.local_device_count() if stream_per_host else 1
+    devices = np.asarray(jax.devices())
+    # Order devices host-major so stream groups are intra-host.
+    devices = devices[np.argsort([d.process_index * 1000 + d.id for d in devices])]
+    return make_mesh(devices=devices, stream=stream)

@@ -1,0 +1,82 @@
+"""Shared-table (dictionary) encoding across blocks."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from huffman_tpu.models.tpu_codec import TpuCodec
+
+
+def _biased(n, seed):
+    rng = np.random.default_rng(seed)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    return rng.choice(256, size=n, p=p).astype(np.uint8)
+
+
+def test_shared_tables_roundtrip():
+    c = TpuCodec(k=256)
+    sample = _biased(64 << 10, seed=0)
+    tables = c.build_tables(jnp.asarray(sample))
+    for seed in (1, 2, 3):
+        data = _biased(32 << 10, seed=seed)
+        comp = c.encode_device(jnp.asarray(data), tables=tables)
+        out = np.asarray(c.decode_device(comp))
+        np.testing.assert_array_equal(out, data)
+        # Serialization still works with shared tables.
+        blob = c.serialize(comp)
+        assert TpuCodec().decompress(blob) == data.tobytes()
+
+
+def test_shared_tables_cover_unseen_symbols():
+    """full_alphabet tables must encode bytes absent from the sample."""
+    c = TpuCodec(k=64)
+    sample = np.zeros(4096, np.uint8)  # sample contains ONLY byte 0
+    tables = c.build_tables(jnp.asarray(sample), full_alphabet=True)
+    data = _biased(8 << 10, seed=7)  # all kinds of bytes
+    comp = c.encode_device(jnp.asarray(data), tables=tables)
+    out = np.asarray(c.decode_device(comp))
+    np.testing.assert_array_equal(out, data)
+
+
+def test_shared_tables_ratio_cost_small():
+    """On stationary data the dictionary table costs little ratio."""
+    c = TpuCodec(k=256)
+    sample = _biased(64 << 10, seed=0)
+    data = _biased(64 << 10, seed=9)
+    tables = c.build_tables(jnp.asarray(sample))
+    shared = c.serialize(c.encode_device(jnp.asarray(data), tables=tables))
+    fresh = c.serialize(c.encode_device(jnp.asarray(data)))
+    # full_alphabet spends code space on never-seen symbols; ~6% on this
+    # steep geometric distribution, less on flatter real data.
+    assert len(shared) <= len(fresh) * 1.10
+
+
+def test_encode_batch_roundtrip():
+    c = TpuCodec(k=64)
+    rng = np.random.default_rng(3)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    B, nb = 5, 4096
+    blocks = rng.choice(256, size=(B, nb), p=p).astype(np.uint8)
+    words, bits, tables = c.encode_batch(jnp.asarray(blocks))
+    out = c.decode_batch(words, bits, tables, nb)
+    got = np.asarray(out).transpose(0, 2, 1).reshape(B, nb)
+    np.testing.assert_array_equal(got, blocks)
+
+
+def test_encode_batch_matches_single():
+    """Each batched block must be bit-identical to its solo encoding."""
+    c = TpuCodec(k=64)
+    rng = np.random.default_rng(4)
+    B, nb = 3, 2048
+    blocks = rng.integers(0, 64, size=(B, nb), dtype=np.uint8)
+    words, bits, tables = c.encode_batch(jnp.asarray(blocks))
+    for i in range(B):
+        solo = c.encode_device(jnp.asarray(blocks[i]))
+        np.testing.assert_array_equal(
+            np.asarray(bits)[i], np.asarray(solo.bit_counts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(words)[i], np.asarray(solo.words)
+        )
