@@ -63,9 +63,14 @@ def _sort_by_freq(hist):
     """
     h = hist.astype(_I32)
     key = jnp.where(h > 0, -h, jnp.int32(1))
+    # Sorting (key, value) pairs avoids a post-sort gather (which would
+    # serialize under vmap in the batched builder).
+    keys_sorted, counts_desc = jax.lax.sort(
+        (key, h), dimension=-1, num_keys=1, is_stable=True
+    )
     order = jnp.argsort(key, stable=True).astype(_I32)
     syms_by_freq = order
-    counts_desc = h[order]
+    del keys_sorted
     num_syms = jnp.sum((h > 0).astype(_I32))
     return syms_by_freq, counts_desc, num_syms
 
@@ -84,18 +89,27 @@ def _huffman_len_count(counts_desc, num_syms):
     a0 = jnp.roll(asc, -(_N - n))  # a0[0:n] ascending actives
     a0 = jnp.where(jnp.arange(_N) < n, a0, big)
 
+    # All element reads/writes below are one-hot compare-selects, NOT
+    # dynamic indexing: under jax.vmap (the batched block codec) they stay
+    # dense vector ops, where gathers/scatters would serialize.
+    idx = jnp.arange(_N, dtype=_I32)
+
+    def get(arr, i):
+        return jnp.sum(jnp.where(idx == i, arr, 0))
+
+    def put(arr, i, val, pred=True):
+        return jnp.where((idx == i) & pred, val, arr)
+
     # Phase 1: a[i] becomes (weight then parent-index) of internal node i;
     # n-1 internal nodes total.  leaf/root are queue cursors.
     def pop(state, nxt):
         a, leaf, root = state
-        leaf_w = a[jnp.clip(leaf, 0, _N - 1)]
-        leaf_w = jnp.where(leaf < n, leaf_w, _BIG)
-        root_w = a[jnp.clip(root, 0, _N - 1)]
+        leaf_w = jnp.where(leaf < n, get(a, leaf), _BIG)
+        root_w = get(a, root)
         take_tree = (root < nxt) & (root_w < leaf_w)
         w = jnp.where(take_tree, root_w, leaf_w)
-        # Mark consumed internal node with its parent index later; phase 1
-        # stores parent links by overwriting the consumed tree slot.
-        a = jnp.where(take_tree, a.at[jnp.clip(root, 0, _N - 1)].set(nxt), a)
+        # Consumed internal nodes are overwritten with their parent index.
+        a = put(a, root, nxt, take_tree)
         leaf = jnp.where(take_tree, leaf, leaf + 1)
         root = jnp.where(take_tree, root + 1, root)
         return (a, leaf, root), w
@@ -104,7 +118,7 @@ def _huffman_len_count(counts_desc, num_syms):
         a, leaf, root = st
         (a, leaf, root), w1 = pop((a, leaf, root), i)
         (a, leaf, root), w2 = pop((a, leaf, root), i)
-        a = a.at[i].set(w1 + w2)
+        a = put(a, i, w1 + w2)
         return (a, leaf, root)
 
     n_internal = jnp.maximum(n - 1, 0)
@@ -112,18 +126,17 @@ def _huffman_len_count(counts_desc, num_syms):
         0, n_internal, phase1_step, (a0, jnp.int32(0), jnp.int32(0))
     )
 
-    # Phase 2: internal-node depths.  After phase 1, slots 0..n-3 hold parent
-    # indices (each < n-1, pointing at a later slot); slot n-2 is the root.
-    # Pointer-doubling: depth(i) = #hops to root.  log2(256) = 8 rounds.
-    idx = jnp.arange(_N, dtype=_I32)
-    parent = jnp.where(idx < n_internal - 1, a[:_N].astype(_I32), idx)
-    # Only slots < n-1 are internal nodes; give the rest self-parents.
-    parent = jnp.where(idx < n_internal, parent, idx)
-    parent = jnp.clip(parent, 0, _N - 1)
-    depth = jnp.where((idx < n_internal - 1), 1, 0).astype(_I32)
-    for _ in range(8):
-        depth = depth + depth[parent]
-        parent = parent[parent]
+    # Phase 2: internal-node depths, in place (Moffat): root slot n-2 gets
+    # depth 0; descending slots read their (already-depth) parent slot.
+    a = put(a, n_internal - 1, 0, n_internal >= 1)
+
+    def phase2_step(i, a):
+        nxt = n_internal - 2 - i
+        pd = get(a, get(a, nxt))
+        return put(a, nxt, pd + 1, nxt >= 0)
+
+    a = jax.lax.fori_loop(0, jnp.maximum(n_internal - 1, 0), phase2_step, a)
+    depth = a.astype(_I32)
 
     # I[d] = # internal nodes at depth d (root included at d=0).
     is_internal = idx < n_internal
@@ -168,7 +181,8 @@ def _limit_len_count(len_count):
         # Largest j < MAX_CODE_LEN with lc[j] > 0.
         j = jnp.max(jnp.where((lc > 0) & (ls < MAX_CODE_LEN), ls, -1))
         j = jnp.clip(j, 0, MAX_CODE_LEN - 1)
-        lc = lc.at[j].add(-1).at[j + 1].add(2)
+        # One-hot updates (vmap-dense; see _huffman_len_count).
+        lc = lc + jnp.where(ls == j, -1, 0) + jnp.where(ls == j + 1, 2, 0)
         return lc, kraft - 1
 
     lc, _ = jax.lax.while_loop(cond, body, (lc, kraft))
@@ -215,15 +229,28 @@ def build_coding_device(hist):
     base_of = jnp.concatenate([jnp.zeros(1, _I32), cum])  # #shorter at l
 
     lr = lens_ranked
-    code_ranked = e_prev_of[lr] + (
-        (i - base_of[lr]) << (MAX_CODE_LEN - lr)
+    # 14-entry table lookups by one-hot select (vmap-dense).
+    l_iota = jnp.arange(MAX_CODE_LEN + 2, dtype=_I32)
+    e_prev_lr = jnp.sum(
+        jnp.where(lr[:, None] == l_iota[None, :], e_prev_of[None, :], 0), axis=1
     )
+    base_lr = jnp.sum(
+        jnp.where(lr[:, None] == l_iota[None, :], base_of[None, :], 0), axis=1
+    )
+    code_ranked = e_prev_lr + ((i - base_lr) << (MAX_CODE_LEN - lr))
     valid = i < num_syms
     entry_ranked = jnp.where(
         valid, (code_ranked << 4) | lens_ranked, 0
     ).astype(_I32)
 
-    enc_table = jnp.zeros(_N, _I32).at[syms_by_freq].set(entry_ranked)
+    # Permutation apply via one-hot sum instead of a scatter.
+    sym_iota = jnp.arange(_N, dtype=_I32)
+    enc_table = jnp.sum(
+        jnp.where(
+            syms_by_freq[:, None] == sym_iota[None, :], entry_ranked[:, None], 0
+        ),
+        axis=0,
+    )
 
     # Bit-serial decode constants (mirrors ops.decode_bits.decode_tables_*).
     e_bound = jnp.concatenate([e, e[-1:]]).astype(_I32)
