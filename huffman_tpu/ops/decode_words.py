@@ -1,16 +1,11 @@
-"""Decode kernel over the TPU-framed (lane-transposed) word payload.
+"""Word-payload framing helpers for the ``tpu`` profile.
 
 The ``tpu`` profile stores each lane's bitstream as big-endian-bit u32
-words in a dense (W, K) matrix — word ``w`` of every lane sits in one row.
-A refill is then a single flat gather per step (vs two byte gathers for the
-``ref`` profile's backward byte streams), and the padded matrix is exactly
-the in-memory form produced by the encoder, so decode needs no framing
-pass at all.
-
-This layout choice is the heart of the TPU-first redesign (SURVEY.md §7
-"hard parts"): the reference's per-stream pointer walks + masked gathers
-(codec/huffman.cpp:1516-1521) become dense row-addressed gathers that v5e
-sustains at >100G lookups/s when K is in the thousands.
+words in a dense (W, K) matrix — word ``w`` of every lane sits in one
+row, so the lockstep decoders (ops/decode_bits.py, ops/decode_pallas.py)
+read whole rows and never address per-lane (the reference's per-stream
+pointer walks + masked gathers, codec/huffman.cpp:1516-1521, have no
+analog here at all — SURVEY.md §7 "hard parts").
 """
 
 from __future__ import annotations
@@ -18,70 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .compaction import compact_lanes
-from .tables import unpack_decode_entry
-
 _U32 = jnp.uint32
-
-
-def decode_word_lanes(words, dec_table, sizes, num_steps: int, out_len: int):
-    """Decode K lanes from the (W, K) transposed word matrix.
-
-    Args:
-      words: (W, K) uint32, forward bit order, MSB-first; unused tail words
-        of a lane must be zero-padded.
-      dec_table: (4096,) int32 packed two-symbol entries.
-      sizes: (K,) int32 symbols per lane.
-      num_steps: static; >= max symbols per lane.
-      out_len: static output rows.
-
-    Returns:
-      syms: (out_len, K) uint8.
-    """
-    W, K = words.shape
-    flat = words.reshape(-1)
-    lane_ids = jnp.arange(K, dtype=jnp.int32)
-
-    def step(carry, _):
-        buf, nbits, pos16, remaining = carry
-        # Refill one 16-bit half-word when fewer than 16 bits are buffered.
-        need = nbits < 16
-        widx = jnp.clip((pos16 >> 1), 0, W - 1) * K + lane_ids
-        w = jnp.take(flat, widx)
-        half = jnp.where((pos16 & 1) == 0, w >> 16, w & 0xFFFF)
-        buf = jnp.where(need, buf | (half << (16 - nbits).astype(_U32)), buf)
-        pos16 = jnp.where(need, pos16 + 1, pos16)
-        nbits = jnp.where(need, nbits + 16, nbits)
-
-        code = buf >> 20
-        e = jnp.take(dec_table, code)
-        nb, n, s0, s1 = unpack_decode_entry(e)
-        alive = remaining > 0
-        emit0 = alive
-        emit1 = (n == 2) & (remaining >= 2)
-        take = jnp.where(alive, jnp.minimum(n, remaining), 0)
-        buf = jnp.where(alive, buf << nb.astype(_U32), buf)
-        nbits = jnp.where(alive, nbits - nb, nbits)
-        remaining = remaining - take
-        return (buf, nbits, pos16, remaining), (
-            s0.astype(jnp.uint8),
-            s1.astype(jnp.uint8),
-            emit0,
-            emit1,
-        )
-
-    init = (
-        jnp.zeros((K,), _U32),
-        jnp.zeros((K,), jnp.int32),
-        jnp.zeros((K,), jnp.int32),
-        sizes,
-    )
-    _, (s0, s1, e0, e1) = jax.lax.scan(step, init, None, length=num_steps)
-
-    staged = jnp.stack([s0, s1], axis=1).reshape(2 * num_steps, K)
-    emits = jnp.stack([e0, e1], axis=1).reshape(2 * num_steps, K)
-    syms, _ = compact_lanes(staged, emits, out_len=out_len)
-    return syms
 
 
 def pack_u16_words_to_u32(words16, word16_counts):
