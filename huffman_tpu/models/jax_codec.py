@@ -22,6 +22,7 @@ from .. import coding, format as fmt, golden, native
 from ..constants import STREAM_SLOP
 from ..ops import tables
 from ..ops.decode import decode_lanes
+from ..ops.decode_bits import decode_bitserial, decode_tables_bitserial
 from ..ops.encode import encode_lanes, words_to_byte_columns
 
 
@@ -38,6 +39,31 @@ def _encode_jit(data, enc_table, bounds, sizes, s: int, k: int):
 def _decode_jit(flipped, dec_table, fwd_base, fwd_len, sizes, out_idx, s: int):
     syms = decode_lanes(flipped, dec_table, fwd_base, fwd_len, sizes, num_steps=s, out_len=s)
     return jnp.take(syms.reshape(-1), out_idx)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "group"))
+def _decode_ref_jit(words, e_bound, g_rank, syms, out_idx, s: int, group: int):
+    k = words.shape[1]
+    w = words.shape[0]
+    slots = -(-32 // group)
+    if (
+        jax.default_backend() != "cpu"
+        and k % 1024 == 0
+        and w * slots <= 1024
+    ):
+        from ..ops.decode_pallas import decode_bitserial_pallas
+
+        out3 = decode_bitserial_pallas(
+            words.reshape(w, k // 128, 128), e_bound, g_rank, syms,
+            group=group, out_len=s,
+        )
+        out = out3.reshape(s, k).astype(jnp.uint8)
+    else:
+        out = decode_bitserial(
+            words, jnp.zeros((k,), jnp.int32), e_bound, g_rank, syms,
+            group=group, out_len=s,
+        )
+    return jnp.take(out.reshape(-1), out_idx)
 
 
 @jax.jit
@@ -93,17 +119,27 @@ class JaxCodec:
         end_offsets = np.cumsum(region_sizes)
         header = fmt.write_header(n, cc.len_count, cc.len_mask, cc.sorted_syms, end_offsets)
 
+        # Backward layout, vectorized: forward stream byte j of lane i
+        # lands at payload[end_i - 1 - j].
         payload = np.zeros(int(end_offsets[-1]), dtype=np.uint8)
-        start = 0
-        for i in range(k):
-            nb = int((bits[i] + 7) // 8)
-            rs = int(region_sizes[i])
-            # Backward layout: forward stream byte j at region[rs - 1 - j].
-            payload[start + rs - nb : start + rs] = byte_cols[:nb, i][::-1]
-            start += rs
+        nb = (bits + 7) // 8
+        maxnb = max(int(nb.max()), 1)
+        cols = np.arange(maxnb, dtype=np.int64)
+        dest = end_offsets[:, None] - 1 - cols[None, :]
+        mask = cols[None, :] < nb[:, None]
+        payload[dest[mask]] = byte_cols[:maxnb].T[mask]
         return header + payload.tobytes()
 
     def decompress(self, blob: bytes) -> bytes:
+        """Decode a reference-format blob with the lockstep word decoder.
+
+        The backward per-stream byte regions are reframed host-side into
+        the dense forward (W, K) word matrix (byte reversal + zero-pad),
+        after which the ``tpu``-profile decoders run unchanged — i.e. the
+        REFERENCE's wire format decodes through the same gather-free
+        TPU kernels as our own.  Per-lane symbol counts differ by one
+        (slice_sizes), handled by the out_idx selection gather.
+        """
         k = self.k
         h = fmt.parse_header(blob, k)
         n = h.raw_size
@@ -111,16 +147,31 @@ class JaxCodec:
             return b""
         if n < 4 * k or n > 4096 * k:
             return native.decompress(bytes(blob), k)
-        dec_table = jnp.asarray(tables.pack_decode_table(h.len_count, h.sorted_syms))
         sizes_np = fmt.slice_sizes(n, k)
         s = int(sizes_np.max())
 
         payload = np.frombuffer(h.payload, dtype=np.uint8)
-        p = len(payload)
-        flipped = jnp.asarray(payload[::-1].copy())
         starts = np.concatenate([[0], h.end_offsets[:-1]])
-        fwd_base = (p - h.end_offsets).astype(np.int32)
-        fwd_len = (h.end_offsets - starts).astype(np.int32)
+        region_len = (h.end_offsets - starts).astype(np.int64)
+        # Forward byte streams: each region reversed; drop the slop (the
+        # low 8 bytes of every region are never part of the stream).
+        # Vectorized: forward byte j of lane i sits at end_offsets[i]-1-j.
+        nb = region_len - STREAM_SLOP
+        max_bytes = int(nb.max())
+        wmax = max(-(-max_bytes // 4), 1)
+        cols = np.arange(4 * wmax, dtype=np.int64)
+        src = h.end_offsets[:, None] - 1 - cols[None, :]
+        mask = cols[None, :] < nb[:, None]
+        lane_bytes = np.where(
+            mask, payload[np.clip(src, 0, len(payload) - 1)], 0
+        ).astype(np.uint8)
+        words = jnp.asarray(lane_bytes.view(">u4").astype(np.uint32).T.copy())
+
+        t = decode_tables_bitserial(h.len_count, h.sorted_syms)
+        if h.num_syms <= 1:
+            sym = int(h.sorted_syms[0]) if h.num_syms else 0
+            return bytes([sym]) * n
+        group = max(g for g in (1, 2, 3, 4, 6, 8) if g <= max(1, t["l_min"]))
 
         lane_of = np.repeat(np.arange(k, dtype=np.int64), sizes_np)
         s_of = np.arange(n, dtype=np.int64) - np.repeat(
@@ -128,13 +179,13 @@ class JaxCodec:
         )
         out_idx = (s_of * k + lane_of).astype(np.int32)
 
-        out = _decode_jit(
-            flipped,
-            dec_table,
-            jnp.asarray(fwd_base),
-            jnp.asarray(fwd_len),
-            jnp.asarray(sizes_np.astype(np.int32)),
+        out = _decode_ref_jit(
+            words,
+            jnp.asarray(t["e_bound"]),
+            jnp.asarray(t["g_rank"]),
+            jnp.asarray(t["syms"]),
             jnp.asarray(out_idx),
             s,
+            group,
         )
         return np.asarray(out).tobytes()
