@@ -68,7 +68,7 @@ def compact_lanes(values, valid, out_len: int | None = None):
     return (tuple(vals) if multi else vals[0]), counts
 
 
-def compact_packed(values, valid, vbits: int, out_len: int | None = None):
+def compact_packed(values, valid, vbits: int, out_len: int | None = None, max_disp: int | None = None):
     """Single-array packed variant of `compact_lanes` — the hot-path version.
 
     Packs ``value+1`` (must fit in ``vbits`` bits) and the remaining leftward
@@ -89,7 +89,8 @@ def compact_packed(values, valid, vbits: int, out_len: int | None = None):
       (rows >= counts are garbage), counts = valid entries per lane.
     """
     T = values.shape[0]
-    rounds = max(1, (T - 1)).bit_length()
+    bound = T - 1 if max_disp is None else min(max_disp, T - 1)
+    rounds = max(1, bound).bit_length()
     assert vbits + rounds <= 31, (vbits, T)
 
     counts = jnp.sum(valid.astype(jnp.int32), axis=0)
@@ -102,7 +103,7 @@ def compact_packed(values, valid, vbits: int, out_len: int | None = None):
 
     shift = 1
     zeros_cache = {}
-    while shift < T:
+    while shift <= bound:
         pad = zeros_cache.get(shift)
         if pad is None:
             pad = jnp.zeros((shift,) + packed.shape[1:], packed.dtype)

@@ -111,7 +111,9 @@ def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, ou
     w2 = words.reshape((W,) + lanes_shape)
     nxt = jnp.concatenate([w2[1:], jnp.zeros((1,) + lanes_shape, w2.dtype)], 0)
 
-    eb = [e_bound[l] for l in range(1, MAX_CODE_LEN)]  # scalars E[1..11]
+    # group <= l_min, so lengths below `group` always satisfy their
+    # canonical compare (E[l] = 0 there): fold them into the initial count.
+    eb = [e_bound[l] for l in range(group, MAX_CODE_LEN)]
 
     def step(carry, rows):
         c = carry
@@ -124,7 +126,7 @@ def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, ou
                 win = (((cur << j) | (nx >> (32 - j))) >> 20).astype(_I32)
             # Length of the code starting at this bit: canonical-boundary
             # compares — feed-forward, off the serial path.
-            ln = jnp.ones(lanes_shape, _I32)
+            ln = jnp.full(lanes_shape, group, _I32)
             for e in eb:
                 ln = ln + (win >= e).astype(_I32)
             boundary = c == 0
@@ -141,7 +143,11 @@ def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, ou
 
     valid = (staged & 0x8000) != 0
     wvals = (staged & 0x0FFF).astype(_I32)
-    codes, _counts = compact_packed(wvals, valid, vbits=13, out_len=out_len)
+    # Every lane emits >= out_len - 1 symbols, bounding displacements.
+    codes, _counts = compact_packed(
+        wvals, valid, vbits=13, out_len=out_len,
+        max_disp=max(W * slots - out_len + 1, 1),
+    )
 
     # Post-pass, per symbol: length, rank, byte.
     lw = 1 + jnp.sum(

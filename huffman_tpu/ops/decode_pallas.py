@@ -48,7 +48,11 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
     shape = (_BLK, 128)
 
     def kernel(scal_ref, w_ref, syms_ref, out_ref, st_ref):
-        eb = [scal_ref[0, l] for l in range(1, MAX_CODE_LEN)]
+        # group <= l_min, so every length below `group` satisfies its
+        # canonical compare (E[l] <= E[l_min - 1] <= any window's value
+        # region); fold those into the initial count and skip the ops.
+        eb = [scal_ref[0, l] for l in range(group, MAX_CODE_LEN)]
+        eb_full = [scal_ref[0, l] for l in range(1, MAX_CODE_LEN)]
 
         # ---- Stage 1: lockstep bit scan ----
         # fori_loop (not an unrolled Python loop) keeps the traced program
@@ -67,7 +71,7 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
                     win = (cur >> 20).astype(_I32)
                 else:
                     win = (((cur << j) | (nx >> (32 - j))) >> 20).astype(_I32)
-                ln = jnp.ones(shape, _I32)
+                ln = jnp.full(shape, group, _I32)
                 for e in eb:
                     ln = ln + (win >= e).astype(_I32)
                 boundary = c == 0
@@ -90,8 +94,12 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
         disp = row - (staged >> 12)  # row - rank, >= 0, monotone steps {0,1}
         # Pack: disp<<13 | (win+1); invalid rows 0.
         packed = jnp.where(valid, (disp << 13) | ((staged & 0x0FFF) + 1), 0)
+        # Every lane emits >= out_len - 1 real symbols (ref-profile slices
+        # may be one short; tpu-profile lanes emit >= out_len), bounding
+        # displacements at T - out_len + 1: rounds stop there, not log2(T).
+        d_max = max(T - out_len + 1, 0)
         sh = 1
-        while sh < T:
+        while sh <= d_max:
             xs = _shift_down(packed, sh)
             arrive = ((xs >> 13) & sh) != 0
             stay = (packed != 0) & (((packed >> 13) & sh) == 0)
@@ -104,7 +112,7 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
 
         # ---- Stage 3: length, rank, symbol (small tables by lane gather) --
         lw = jnp.ones(codes.shape, _I32)
-        for e in eb:
+        for e in eb_full:
             lw = lw + (codes >= e).astype(_I32)
         flat_rows = out_len * _BLK
         g_tab = jnp.broadcast_to(syms_ref[2:3, :], (flat_rows, 128))
