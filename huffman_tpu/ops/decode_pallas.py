@@ -34,20 +34,14 @@ _I32 = jnp.int32
 _BLK = 8  # sublane-groups (x128 lanes) per grid step
 
 
-def _shift_down(x, rows):
-    """x shifted down-to-front by `rows` along axis 0, zero-filled tail."""
-    t = x.shape[0]
-    rolled = pltpu.roll(x, t - rows, 0)  # == roll by -rows (must be >= 0)
-    idx = jax.lax.broadcasted_iota(_I32, x.shape, 0)
-    return jnp.where(idx < t - rows, rolled, 0)
-
-
 def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
     slots = -(-32 // group)
     T = t_rows
     shape = (_BLK, 128)
+    d_max_static = max(T - out_len + 1, 0)
+    pad = 1 << (d_max_static.bit_length() - 1) if d_max_static >= 1 else 0
 
-    def kernel(scal_ref, w_ref, syms_ref, out_ref, st_ref):
+    def kernel(scal_ref, w_ref, syms_ref, out_ref, st_ref, st2_ref):
         # group <= l_min, so every length below `group` satisfies its
         # canonical compare (E[l] <= E[l_min - 1] <= any window's value
         # region); fold those into the initial count and skip the ops.
@@ -88,27 +82,39 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
         )
 
         # ---- Stage 2: stable per-lane compaction (displacement rounds) ----
-        staged = st_ref[:]
+        staged = st_ref[:T]
         valid = staged >= 0
         row = jax.lax.broadcasted_iota(_I32, staged.shape, 0)
         disp = row - (staged >> 12)  # row - rank, >= 0, monotone steps {0,1}
-        # Pack: disp<<13 | (win+1); invalid rows 0.
+        # Pack: disp<<13 | (win+1); invalid rows 0.  A zero entry behaves
+        # exactly like an invalid "stay" (its displacement bits are zero
+        # and merging keeps zero), so no explicit validity test per round.
         packed = jnp.where(valid, (disp << 13) | ((staged & 0x0FFF) + 1), 0)
         # Every lane emits >= out_len - 1 real symbols (ref-profile slices
         # may be one short; tpu-profile lanes emit >= out_len), bounding
         # displacements at T - out_len + 1: rounds stop there, not log2(T).
-        d_max = max(T - out_len + 1, 0)
+        d_max = d_max_static
+        # Ping-pong between the two (padded) scratch buffers: each round
+        # reads the base rows and a statically shifted slice — no rolls,
+        # no wrap masking (the pad rows are zero and stay zero).
+        st_ref[:T] = packed
+        if pad:
+            st_ref[T : T + pad] = jnp.zeros((pad, _BLK, 128), _I32)
+            st2_ref[T : T + pad] = jnp.zeros((pad, _BLK, 128), _I32)
+        src, dst = st_ref, st2_ref
         sh = 1
         while sh <= d_max:
-            xs = _shift_down(packed, sh)
+            base = src[:T]
+            xs = src[sh : sh + T]
             arrive = ((xs >> 13) & sh) != 0
-            stay = (packed != 0) & (((packed >> 13) & sh) == 0)
-            packed = jnp.where(
-                arrive, xs - (sh << 13), jnp.where(stay, packed, 0)
+            stay = ((base >> 13) & sh) == 0
+            dst[:T] = jnp.where(
+                arrive, xs - (sh << 13), jnp.where(stay, base, 0)
             )
+            src, dst = dst, src
             sh <<= 1
 
-        codes = (packed[:out_len] & 0x1FFF) - 1  # (out_len, BLK, 128)
+        codes = (src[:out_len] & 0x1FFF) - 1  # (out_len, BLK, 128)
 
         # ---- Stage 3: length, rank, symbol (small tables by lane gather) --
         lw = jnp.ones(codes.shape, _I32)
@@ -165,6 +171,8 @@ def decode_bitserial_pallas(words3, e_bound, g_rank, syms, *, group: int, out_le
     )
 
     kernel = _make_decode_kernel(W, group, out_len, t_rows)
+    d_max = max(t_rows - out_len + 1, 0)
+    pad = 1 << (d_max.bit_length() - 1) if d_max >= 1 else 0
     return pl.pallas_call(
         kernel,
         grid=(KR // _BLK,),
@@ -177,5 +185,8 @@ def decode_bitserial_pallas(words3, e_bound, g_rank, syms, *, group: int, out_le
             (out_len, _BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((out_len, KR, 128), _I32),
-        scratch_shapes=[pltpu.VMEM((t_rows, _BLK, 128), _I32)],
+        scratch_shapes=[
+            pltpu.VMEM((t_rows + pad, _BLK, 128), _I32),
+            pltpu.VMEM((t_rows + pad, _BLK, 128), _I32),
+        ],
     )(scal, words3, syms2)
