@@ -21,7 +21,6 @@ import numpy as np
 from .. import coding, format as fmt, golden, native
 from ..constants import STREAM_SLOP
 from ..ops import tables
-from ..ops.decode import decode_lanes
 from ..ops.decode_bits import decode_bitserial, decode_tables_bitserial
 from ..ops.encode import encode_lanes, words_to_byte_columns
 
@@ -33,12 +32,6 @@ def _encode_jit(data, enc_table, bounds, sizes, s: int, k: int):
     b = jnp.take(data, jnp.clip(idx, 0, data.shape[0] - 1)).astype(jnp.int32)
     words, word_counts, bit_counts = encode_lanes(b, valid, enc_table)
     return words_to_byte_columns(words), bit_counts
-
-
-@functools.partial(jax.jit, static_argnames=("s",))
-def _decode_jit(flipped, dec_table, fwd_base, fwd_len, sizes, out_idx, s: int):
-    syms = decode_lanes(flipped, dec_table, fwd_base, fwd_len, sizes, num_steps=s, out_len=s)
-    return jnp.take(syms.reshape(-1), out_idx)
 
 
 @functools.partial(jax.jit, static_argnames=("s", "group"))

@@ -27,6 +27,9 @@ def _setup(seed=0, k=1024, s=32, style="biased"):
         p = 0.8 ** np.arange(256) * 0.2
         p /= p.sum()
         data = rng.choice(256, size=k * s, p=p).astype(np.uint8)
+    elif style == "flat48":
+        # ~48 near-equal symbols: l_min around 5-6, exercising wide groups.
+        data = rng.integers(0, 48, size=k * s, dtype=np.uint8)
     else:
         data = rng.integers(0, 256, size=k * s, dtype=np.uint8)
     hist = np.bincount(data, minlength=256)
@@ -89,3 +92,34 @@ def test_decode_kernel_matches_xla(style):
     np.testing.assert_array_equal(
         np.asarray(out_x).T.reshape(-1), data
     )
+
+
+@pytest.mark.parametrize("group", [1, 3, 6])
+def test_decode_kernel_group_variants(group):
+    """Staging-group widths beyond the auto choice (1/3/6) stay bit-exact."""
+    k, s = 1024, 32
+    data, cc, enc_table, t, b2 = _setup(style="flat48", k=k, s=s)
+    if group > t["l_min"]:
+        pytest.skip("group must stay <= l_min for this corpus")
+    valid = jnp.ones((s, k), bool)
+    w16, wc, bits = encode_lanes(b2, valid, enc_table)
+    from huffman_tpu.constants import MAX_CODE_LEN
+
+    w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
+    w16p = jnp.concatenate(
+        [w16, jnp.zeros((2 * w32c - w16.shape[0], k), w16.dtype)]
+    )
+    words32 = pack_u16_words_to_u32(w16p, jnp.minimum(wc, 2 * w32c))
+    w = int((np.asarray(bits).max() + 31) // 32)
+    words = jnp.asarray(np.asarray(words32[:w]))
+    eb, gr, sy = (
+        jnp.asarray(t["e_bound"]),
+        jnp.asarray(t["g_rank"]),
+        jnp.asarray(t["syms"]),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out_p = decode_bitserial_pallas(
+            words.reshape(w, k // 128, 128), eb, gr, sy, group=group, out_len=s
+        )
+    got = np.asarray(out_p).reshape(s, k).astype(np.uint8).T.reshape(-1)
+    np.testing.assert_array_equal(got, data)
