@@ -38,13 +38,13 @@ def _encode_jit(data, enc_table, bounds, sizes, s: int, k: int):
 def _decode_ref_jit(words, e_bound, g_rank, syms, out_idx, s: int, group: int):
     k = words.shape[1]
     w = words.shape[0]
-    slots = -(-32 // group)
+    from ..ops.decode_pallas import decode_bitserial_pallas, decode_kernel_fits
+
     if (
         jax.default_backend() != "cpu"
         and k % 1024 == 0
-        and w * slots <= 1024
+        and decode_kernel_fits(w, group, s)
     ):
-        from ..ops.decode_pallas import decode_bitserial_pallas
 
         out3 = decode_bitserial_pallas(
             words.reshape(w, k // 128, 128), e_bound, g_rank, syms,

@@ -54,7 +54,7 @@ import numpy as np
 from .. import coding
 from ..constants import MAX_CODE_LEN
 from ..ops.decode_bits import decode_bitserial, decode_tables_bitserial
-from ..ops.decode_pallas import decode_bitserial_pallas
+from ..ops.decode_pallas import decode_bitserial_pallas, decode_kernel_fits
 from ..ops.decode_words import pack_u16_words_to_u32
 from ..ops.encode import encode_lanes
 from ..ops.encode_pallas import encode_lanes_pallas
@@ -213,10 +213,9 @@ def _decode_batch(words, e_bound, g_rank, syms, s: int, group: int, w: int, use_
 @functools.partial(jax.jit, static_argnames=("s", "n", "group", "w"))
 def _decode_full(words, e_bound, g_rank, syms, s: int, n: int, group: int, w: int):
     k = words.shape[1]
-    slots = -(-32 // group)
-    # Staged rows bound the fused kernel's VMEM footprint (~3 live copies
-    # of (T, 8, 128) int32); beyond ~1024 rows use the XLA pipeline.
-    if _pallas_ok(k) and 0 < w and w * slots <= 1024:
+    # The fused kernel's VMEM footprint must fit a grid step; otherwise
+    # fall back to the XLA pipeline.
+    if _pallas_ok(k) and 0 < w and decode_kernel_fits(w, group, s):
         w3 = jax.lax.slice_in_dim(words, 0, w, axis=0).reshape(w, k // 128, 128)
         out3 = decode_bitserial_pallas(
             w3, e_bound, g_rank, syms, group=group, out_len=s
@@ -366,8 +365,7 @@ class TpuCodec:
         group = max(g for g in (1, 2, 3, 4, 6, 8) if g <= max(1, l_min))
         w = int((bits.max() + 31) // 32)
         w = max(min(-(-w // 4) * 4, words.shape[1]), 1)
-        slots = -(-32 // group)
-        use_pallas = _pallas_ok(k) and w * slots <= 1024
+        use_pallas = _pallas_ok(k) and decode_kernel_fits(w, group, s)
         out = _decode_batch(
             words,
             tables["e_bound"],

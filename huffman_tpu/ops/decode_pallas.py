@@ -34,6 +34,21 @@ _I32 = jnp.int32
 _BLK = 8  # sublane-groups (x128 lanes) per grid step
 
 
+def decode_kernel_fits(w: int, group: int, out_len: int) -> bool:
+    """True when the fused kernel's VMEM working set fits a grid step.
+
+    Rows of (8, 128) int32 cost 4 KiB each; the kernel holds two padded
+    scratch buffers, the word block, the output block, and temporaries.
+    Budget ~11 MiB of the 16 MiB VMEM (the rest for pipelining slack).
+    """
+    slots = -(-32 // group)
+    t_rows = w * slots
+    d_max = max(t_rows - out_len + 1, 0)
+    pad = 1 << (d_max.bit_length() - 1) if d_max >= 1 else 0
+    rows = 2 * (t_rows + pad) + w + 2 * out_len + t_rows
+    return rows * 4096 <= 11 * (1 << 20)
+
+
 def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
     slots = -(-32 // group)
     T = t_rows

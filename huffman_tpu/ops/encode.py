@@ -88,12 +88,17 @@ def encode_lanes(byte_matrix, valid, enc_table):
 
     lens = entries & 15
     if K % 2 == 0 and S <= 5400:
-        # Two lanes per int32 (per-lane totals <= 12*S < 2^16): the length
-        # prefix sum is the costliest dense pass here, so halve its traffic.
+        # Two lanes per word (per-lane totals <= 12*S < 2^16): the length
+        # prefix sum is the costliest dense pass here, so halve its
+        # traffic.  Unsigned arithmetic: the high half legitimately
+        # reaches bit 31 (totals >= 2^15 when S > 2730), which would
+        # corrupt a signed shift.
         half = K // 2
-        lp = lens[:, :half] | (lens[:, half:] << 16)
+        lp = (lens[:, :half] | (lens[:, half:] << 16)).astype(jnp.uint32)
         pends = jnp.cumsum(lp, axis=0)
-        ends = jnp.concatenate([pends & 0xFFFF, pends >> 16], axis=1)
+        ends = jnp.concatenate(
+            [pends & 0xFFFF, pends >> 16], axis=1
+        ).astype(jnp.int32)
     else:
         ends = jnp.cumsum(lens, axis=0)  # inclusive
     bit_counts = ends[-1]

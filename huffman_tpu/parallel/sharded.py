@@ -39,7 +39,7 @@ from jax import shard_map
 
 from ..constants import MAX_CODE_LEN
 from ..ops.decode_bits import decode_bitserial
-from ..ops.decode_pallas import decode_bitserial_pallas
+from ..ops.decode_pallas import decode_bitserial_pallas, decode_kernel_fits
 from ..ops.decode_words import pack_u16_words_to_u32
 from ..ops.encode import encode_lanes
 from ..ops.encode_pallas import encode_lanes_pallas
@@ -95,7 +95,7 @@ def sharded_roundtrip(data, *, mesh, k, s, w32, group=1):
         jax.default_backend() != "cpu"
         and k_local % 1024 == 0
         and 2 <= s <= 256
-        and w32 * (-(-32 // group)) <= 1024
+        and decode_kernel_fits(w32, group, s)
     )
 
     def step(blocks):  # blocks: (B_local, k_local * s) u8

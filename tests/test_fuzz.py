@@ -1,0 +1,57 @@
+"""Randomized round-trip battery over sizes, lane counts, distributions.
+
+The reference's ManyRandom test (huffman_test.cpp:164-184) scaled up:
+the parameter space (size x K x distribution) is where framing bugs
+live (tails, padding, degenerate alphabets, wide counts).
+"""
+
+import numpy as np
+import pytest
+
+from huffman_tpu.models.tpu_codec import TpuCodec
+from huffman_tpu import golden
+
+
+def _gen(rng, style, n):
+    if style == "uniform":
+        return rng.integers(0, 256, size=n, dtype=np.uint8)
+    if style == "biased":
+        p = 0.8 ** np.arange(256) * 0.2
+        p /= p.sum()
+        return rng.choice(256, size=n, p=p).astype(np.uint8)
+    if style == "runs":
+        reps = rng.integers(1, 50, size=max(n // 10, 1))
+        vals = rng.integers(0, 8, size=reps.size)
+        return np.repeat(vals, reps).astype(np.uint8)[:n]
+    if style == "few":
+        return rng.choice([7, 200, 201], size=n).astype(np.uint8)
+    raise ValueError(style)
+
+
+def test_fuzz_tpu_profile():
+    rng = np.random.default_rng(123)
+    styles = ["uniform", "biased", "runs", "few"]
+    for i in range(36):
+        n = int(rng.integers(0, 50_000))
+        style = styles[i % 4]
+        data = _gen(rng, style, n)
+        raw = data.tobytes()[:n]
+        k = int(rng.choice([8, 16, 64, 128, 256]))
+        c = TpuCodec(k)
+        blob = c.compress(raw)
+        out = c.decompress(blob)
+        assert out == raw, f"case {i}: n={n} k={k} style={style}"
+
+
+def test_fuzz_ref_profile_vs_golden():
+    rng = np.random.default_rng(321)
+    from huffman_tpu import native
+
+    for i in range(20):
+        n = int(rng.integers(1, 20_000))
+        data = _gen(rng, ["uniform", "biased", "runs", "few"][i % 4], n)
+        raw = data.tobytes()[:n]
+        k = int(rng.choice([1, 2, 4, 8, 32]))
+        blob = native.compress(raw, k)
+        assert blob == golden.compress(raw, k), f"case {i}"
+        assert native.decompress(blob, k) == raw, f"case {i}"
