@@ -37,3 +37,21 @@ def test_histogram256_skewed():
     d[::7] = 255
     got = np.asarray(jax.jit(histogram256)(jnp.asarray(d)))
     np.testing.assert_array_equal(got, np.bincount(d, minlength=256))
+
+
+def test_pack_unpack_decode_table():
+    """Packed Decoder2x entries (C14 device packing) round-trip."""
+    import numpy as np
+    from huffman_tpu import coding
+    from huffman_tpu.ops import tables
+
+    hist = np.zeros(256, np.uint64)
+    hist[:7] = [50, 20, 10, 5, 3, 2, 1]
+    cc = coding.make_canonical_coding(hist)
+    packed = tables.pack_decode_table(cc.len_count, cc.sorted_syms)
+    nb, n, s0, s1 = tables.unpack_decode_entry(packed)
+    t_bits, t_s0, t_s1, t_n = coding.decode_tables_2x(cc.len_count, cc.sorted_syms)
+    np.testing.assert_array_equal(nb, t_bits)
+    np.testing.assert_array_equal(n, t_n)
+    np.testing.assert_array_equal(s0, t_s0)
+    np.testing.assert_array_equal(s1, t_s1)
