@@ -185,7 +185,7 @@ def _encode_batch(blocks, s: int, k: int, w32: int, use_pallas: bool):
 
     def one(block):
         hist = histogram256(block)
-        t = build_coding_device(hist)
+        t = build_coding_device(hist, serial_tree=False)
         words32, bit_counts = _encode_with_tables_body(
             block, t["enc_table"], s, k, w32, use_pallas
         )

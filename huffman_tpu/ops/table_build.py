@@ -39,6 +39,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from ..constants import MAX_CODE_LEN, NUM_SYMBOLS
 
 _I32 = jnp.int32
@@ -101,41 +104,55 @@ def _huffman_len_count(counts_desc, num_syms):
         return jnp.where((idx == i) & pred, val, arr)
 
     # Phase 1: a[i] becomes (weight then parent-index) of internal node i;
-    # n-1 internal nodes total.  leaf/root are queue cursors.
-    def pop(state, nxt):
+    # n-1 internal nodes total.  leaf/root are queue cursors.  The loop
+    # runs two merges per iteration (predicated) to halve loop overhead —
+    # this serial 255-step build is the dominant fixed cost per block.
+    def pop(state, nxt, active):
         a, leaf, root = state
         leaf_w = jnp.where(leaf < n, get(a, leaf), _BIG)
         root_w = get(a, root)
-        take_tree = (root < nxt) & (root_w < leaf_w)
+        take_tree = active & (root < nxt) & (root_w < leaf_w)
+        take_leaf = active & ~take_tree
         w = jnp.where(take_tree, root_w, leaf_w)
         # Consumed internal nodes are overwritten with their parent index.
         a = put(a, root, nxt, take_tree)
-        leaf = jnp.where(take_tree, leaf, leaf + 1)
-        root = jnp.where(take_tree, root + 1, root)
+        leaf = leaf + take_leaf.astype(_I32)
+        root = root + take_tree.astype(_I32)
         return (a, leaf, root), w
 
-    def phase1_step(i, st):
+    def merge(st, i, active):
         a, leaf, root = st
-        (a, leaf, root), w1 = pop((a, leaf, root), i)
-        (a, leaf, root), w2 = pop((a, leaf, root), i)
-        a = put(a, i, w1 + w2)
+        (a, leaf, root), w1 = pop((a, leaf, root), i, active)
+        (a, leaf, root), w2 = pop((a, leaf, root), i, active)
+        a = put(a, i, w1 + w2, active)
         return (a, leaf, root)
 
     n_internal = jnp.maximum(n - 1, 0)
+
+    def phase1_pair(j, st):
+        i = 2 * j
+        st = merge(st, i, i < n_internal)
+        st = merge(st, i + 1, i + 1 < n_internal)
+        return st
+
     a, _, _ = jax.lax.fori_loop(
-        0, n_internal, phase1_step, (a0, jnp.int32(0), jnp.int32(0))
+        0, (n_internal + 1) // 2, phase1_pair, (a0, jnp.int32(0), jnp.int32(0))
     )
 
     # Phase 2: internal-node depths, in place (Moffat): root slot n-2 gets
     # depth 0; descending slots read their (already-depth) parent slot.
+    # Two slots per iteration: slot nxt-1's parent is strictly above nxt-1,
+    # so it may read the freshly written nxt — sequence the two gets.
     a = put(a, n_internal - 1, 0, n_internal >= 1)
 
-    def phase2_step(i, a):
-        nxt = n_internal - 2 - i
+    def phase2_pair(j, a):
+        nxt = n_internal - 2 - 2 * j
         pd = get(a, get(a, nxt))
-        return put(a, nxt, pd + 1, nxt >= 0)
+        a = put(a, nxt, pd + 1, nxt >= 0)
+        pd2 = get(a, get(a, nxt - 1))
+        return put(a, nxt - 1, pd2 + 1, nxt - 1 >= 0)
 
-    a = jax.lax.fori_loop(0, jnp.maximum(n_internal - 1, 0), phase2_step, a)
+    a = jax.lax.fori_loop(0, jnp.maximum(n_internal, 1) // 2, phase2_pair, a)
     depth = a.astype(_I32)
 
     # I[d] = # internal nodes at depth d (root included at d=0).
@@ -157,6 +174,115 @@ def _huffman_len_count(counts_desc, num_syms):
     len_count = jnp.where(n == 1, one_hot0, len_count)
     len_count = jnp.where(n == 0, 0, len_count)
     return len_count  # (_MAX_DEPTH,) int32
+
+
+def _tree_kernel(cd_ref, n_ref, lc_ref, a_ref, i_ref):
+    """Moffat in-place tree build as scalar SMEM code.
+
+    The XLA formulation of this serial 2*(n-1)-step loop costs ~µs per
+    step in op dispatch (~1.9 ms for a 256-symbol alphabet); as scalar
+    loads/stores on SMEM inside one kernel it runs at machine speed.
+
+    cd_ref: (1, 256) SMEM counts sorted descending; n_ref: (1,1) SMEM;
+    lc_ref: (1, 64) SMEM out len_count; a_ref/(1, 256) and i_ref/(1, 64)
+    SMEM scratch.
+    """
+    import jax.lax as lax
+
+    n = n_ref[0, 0]
+    big = jnp.int32(1073741824)  # plain literal: module _BIG is a traced const
+
+    # a[0:n] = weights ascending.
+    def initb(i, _):
+        a_ref[0, i] = jnp.where(i < n, cd_ref[0, jnp.maximum(n - 1 - i, 0)], big)
+        return 0
+
+    lax.fori_loop(0, _N, initb, 0)
+    lax.fori_loop(0, 64, lambda i, _: (i_ref.__setitem__((0, i), 0), 0)[1], 0)
+
+    n_internal = jnp.maximum(n - 1, 0)
+
+    def pop(state, nxt):
+        leaf, root = state
+        leaf_w = jnp.where(leaf < n, a_ref[0, jnp.minimum(leaf, _N - 1)], big)
+        root_w = a_ref[0, jnp.minimum(root, _N - 1)]
+        take_tree = (root < nxt) & (root_w < leaf_w)
+        w = jnp.where(take_tree, root_w, leaf_w)
+
+        @pl.when(take_tree)
+        def _():
+            a_ref[0, root] = nxt
+
+        leaf = jnp.where(take_tree, leaf, leaf + 1)
+        root = jnp.where(take_tree, root + 1, root)
+        return (leaf, root), w
+
+    def phase1(i, st):
+        leaf, root = st
+        (leaf, root), w1 = pop((leaf, root), i)
+        (leaf, root), w2 = pop((leaf, root), i)
+        a_ref[0, i] = w1 + w2
+        return (leaf, root)
+
+    lax.fori_loop(0, n_internal, phase1, (jnp.int32(0), jnp.int32(0)))
+
+    # Phase 2: depths in place; root (slot n-2) = 0, descending.
+    @pl.when(n_internal >= 1)
+    def _():
+        a_ref[0, jnp.maximum(n_internal - 1, 0)] = 0
+
+    def phase2(i, _):
+        nxt = n_internal - 2 - i
+        j = jnp.maximum(nxt, 0)
+        parent = a_ref[0, j]
+        a_ref[0, j] = jnp.where(
+            nxt >= 0, a_ref[0, jnp.minimum(parent, _N - 1)] + 1, a_ref[0, j]
+        )
+        return 0
+
+    lax.fori_loop(0, jnp.maximum(n_internal - 1, 0), phase2, 0)
+
+    # I[d] = internal nodes at depth d; len_count[d] = 2*I[d-1] - I[d].
+    def hist_step(i, _):
+        d = jnp.clip(a_ref[0, i], 0, 63)
+
+        @pl.when(i < n_internal)
+        def _():
+            i_ref[0, d] = i_ref[0, d] + 1
+
+        return 0
+
+    lax.fori_loop(0, _N, hist_step, 0)
+
+    def lc_step(d, _):
+        v = jnp.where(
+            d >= 1, 2 * i_ref[0, d - 1] - i_ref[0, jnp.minimum(d, 63)], 0
+        )
+        lc_ref[0, d] = jnp.maximum(jnp.where(n == 1, jnp.where(d == 0, 1, 0), v), 0)
+        return 0
+
+    lax.fori_loop(0, 64, lc_step, 0)
+
+
+def _huffman_len_count_pallas(counts_desc, num_syms):
+    """Pallas scalar-core tree build (single table; ~20-60 µs vs ~2 ms)."""
+    lc = pl.pallas_call(
+        _tree_kernel,
+        in_specs=[
+            pl.BlockSpec((1, _N), lambda: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 64), lambda: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 64), _I32),
+        scratch_shapes=[
+            pltpu.SMEM((1, _N), _I32),
+            pltpu.SMEM((1, 64), _I32),
+        ],
+    )(
+        counts_desc.reshape(1, _N).astype(_I32),
+        num_syms.reshape(1, 1).astype(_I32),
+    )
+    return lc.reshape(64)
 
 
 def _limit_len_count(len_count):
@@ -189,8 +315,8 @@ def _limit_len_count(len_count):
     return lc.astype(_I32)  # (MAX_CODE_LEN+1,)
 
 
-@jax.jit
-def build_coding_device(hist):
+@functools.partial(jax.jit, static_argnames=("serial_tree",))
+def build_coding_device(hist, serial_tree: bool | None = None):
     """Histogram -> full coding state, entirely on device.
 
     Args:
@@ -210,8 +336,16 @@ def build_coding_device(hist):
         — the bit-serial decode constants (ops.decode_bits).
       l_min: () int32 — shortest code length (1 if empty/degenerate).
     """
+    if serial_tree is None:
+        serial_tree = jax.default_backend() != "cpu"
     syms_by_freq, counts_desc, num_syms = _sort_by_freq(hist)
-    len_count = _limit_len_count(_huffman_len_count(counts_desc, num_syms))
+    if serial_tree:
+        # Scalar-core Pallas build: ~30x faster for a single table, but
+        # serial — batched/vmapped callers use the dense one-hot form.
+        raw = _huffman_len_count_pallas(counts_desc, num_syms)
+    else:
+        raw = _huffman_len_count(counts_desc, num_syms)
+    len_count = _limit_len_count(raw)
 
     # After limiting, lengths still ascend as frequency descends, so the
     # freq-sorted symbol order IS the canonical wire order (see

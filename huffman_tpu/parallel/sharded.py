@@ -105,7 +105,7 @@ def sharded_roundtrip(data, *, mesh, k, s, w32, group=1):
             # Shared table: reduce per-shard histograms across the lanes of
             # this block (huffman.cpp:762-766, distributed).
             hist = jax.lax.psum(hist, "stream")
-            t = build_coding_device(hist)
+            t = build_coding_device(hist, serial_tree=False)
 
             if use_pallas:
                 w3, bits3 = encode_lanes_pallas(
