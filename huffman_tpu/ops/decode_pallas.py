@@ -49,10 +49,10 @@ def decode_kernel_fits(w: int, group: int, out_len: int) -> bool:
     return rows * 4096 <= 11 * (1 << 20)
 
 
-def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
+def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk: int = _BLK):
     slots = -(-32 // group)
     T = t_rows
-    shape = (_BLK, 128)
+    shape = (blk, 128)
     d_max_static = max(T - out_len + 1, 0)
     pad = 1 << (d_max_static.bit_length() - 1) if d_max_static >= 1 else 0
 
@@ -114,8 +114,8 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
         # no wrap masking (the pad rows are zero and stay zero).
         st_ref[:T] = packed
         if pad:
-            st_ref[T : T + pad] = jnp.zeros((pad, _BLK, 128), _I32)
-            st2_ref[T : T + pad] = jnp.zeros((pad, _BLK, 128), _I32)
+            st_ref[T : T + pad] = jnp.zeros((pad, blk, 128), _I32)
+            st2_ref[T : T + pad] = jnp.zeros((pad, blk, 128), _I32)
         src, dst = st_ref, st2_ref
         sh = 1
         while sh <= d_max:
@@ -135,7 +135,7 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
         lw = jnp.ones(codes.shape, _I32)
         for e in eb_full:
             lw = lw + (codes >= e).astype(_I32)
-        flat_rows = out_len * _BLK
+        flat_rows = out_len * blk
         g_tab = jnp.broadcast_to(syms_ref[2:3, :], (flat_rows, 128))
         lw2 = lw.reshape(flat_rows, 128)
         g = jnp.take_along_axis(g_tab, lw2, axis=1)
@@ -148,15 +148,15 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int):
         hi = jnp.broadcast_to(syms_ref[1:2, :], (flat_rows, 128))
         a = jnp.take_along_axis(lo, rank & 127, axis=1)
         b = jnp.take_along_axis(hi, rank & 127, axis=1)
-        out_ref[:] = jnp.where(rank < 128, a, b).reshape(out_len, _BLK, 128)
+        out_ref[:] = jnp.where(rank < 128, a, b).reshape(out_len, blk, 128)
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "out_len")
+    jax.jit, static_argnames=("group", "out_len", "blk")
 )
-def decode_bitserial_pallas(words3, e_bound, g_rank, syms, *, group: int, out_len: int):
+def decode_bitserial_pallas(words3, e_bound, g_rank, syms, *, group: int, out_len: int, blk: int = _BLK):
     """Fused TPU decode.
 
     Args:
@@ -185,23 +185,23 @@ def decode_bitserial_pallas(words3, e_bound, g_rank, syms, *, group: int, out_le
         ]
     )
 
-    kernel = _make_decode_kernel(W, group, out_len, t_rows)
+    kernel = _make_decode_kernel(W, group, out_len, t_rows, blk)
     d_max = max(t_rows - out_len + 1, 0)
     pad = 1 << (d_max.bit_length() - 1) if d_max >= 1 else 0
     return pl.pallas_call(
         kernel,
-        grid=(KR // _BLK,),
+        grid=(KR // blk,),
         in_specs=[
             pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((W, _BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, blk, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (out_len, _BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (out_len, blk, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((out_len, KR, 128), _I32),
         scratch_shapes=[
-            pltpu.VMEM((t_rows + pad, _BLK, 128), _I32),
-            pltpu.VMEM((t_rows + pad, _BLK, 128), _I32),
+            pltpu.VMEM((t_rows + pad, blk, 128), _I32),
+            pltpu.VMEM((t_rows + pad, blk, 128), _I32),
         ],
     )(scal, words3, syms2)

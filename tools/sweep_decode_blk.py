@@ -1,0 +1,146 @@
+"""Sweep the decode kernel's grid block size (sublane-groups per grid step).
+
+Times decode_bitserial_pallas at blk in {8, 16, 32} on the bench workload
+(16 MiB biased, K = 128 Ki lanes, S = 128) with the sustained-timing method
+(R reps inside one jit, data-dependent carry).
+
+Usage: python tools/sweep_decode_blk.py [n_mib] [k]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from huffman_tpu import coding
+from huffman_tpu.constants import MAX_CODE_LEN
+from huffman_tpu.ops.decode_bits import decode_tables_bitserial
+from huffman_tpu.ops.decode_pallas import decode_bitserial_pallas
+from huffman_tpu.ops.encode import encode_lanes
+from huffman_tpu.ops.lookup import lookup256
+from huffman_tpu.ops import tables
+from huffman_tpu.ops.decode_words import pack_u16_words_to_u32
+
+
+def biased(n, seed=0):
+    rng = np.random.default_rng(seed)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    return rng.choice(256, size=n, p=p).astype(np.uint8)
+
+
+def rep(body, r):
+    @jax.jit
+    def f():
+        def it(i, acc):
+            pert = jnp.isnan(acc).astype(jnp.int32)
+            return acc + body(pert)
+
+        return jax.lax.fori_loop(0, r, it, jnp.float32(0.0))
+
+    return f
+
+
+def timed(name, make_fn, n_bytes, reps=8):
+    f1 = make_fn(1)
+    fr = make_fn(reps)
+    float(f1())
+    float(fr())
+    t1 = min(
+        (lambda t0=time.perf_counter(): (float(f1()), time.perf_counter() - t0)[1])()
+        for _ in range(3)
+    )
+    tr = min(
+        (lambda t0=time.perf_counter(): (float(fr()), time.perf_counter() - t0)[1])()
+        for _ in range(3)
+    )
+    per = max((tr - t1) / (reps - 1), 1e-9)
+    print(f"{name:24s} {per*1e3:9.3f} ms   {n_bytes/per/2**30:9.2f} GiB/s")
+    return per
+
+
+def main():
+    n = int(float(sys.argv[1]) * (1 << 20)) if len(sys.argv) > 1 else (16 << 20)
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else (1 << 17)
+    s = n // k
+    assert s * k == n
+
+    data = biased(n)
+    hist = np.bincount(data, minlength=256)
+    cc = coding.make_canonical_coding(hist.astype(np.uint64))
+    enc_table = jnp.asarray(tables.pack_encode_table(cc).astype(np.int32))
+    t = decode_tables_bitserial(cc.len_count, cc.sorted_syms)
+    e_bound = jnp.asarray(t["e_bound"])
+    g_rank = jnp.asarray(t["g_rank"])
+    syms = jnp.asarray(t["syms"])
+    group = max(1, min(t["l_min"], 32))
+
+    b2 = jnp.asarray(data).reshape(k, s).T.astype(jnp.int32)
+    valid = jnp.ones((s, k), bool)
+    w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
+
+    @jax.jit
+    def enc_full(b):
+        words16, wc, bits = encode_lanes(b, valid, enc_table)
+        rows = words16.shape[0]
+        if rows < 2 * w32:
+            words16 = jnp.concatenate(
+                [words16, jnp.zeros((2 * w32 - rows, k), words16.dtype)]
+            )
+        else:
+            words16 = jax.lax.slice_in_dim(words16, 0, 2 * w32, axis=0)
+        return pack_u16_words_to_u32(words16, jnp.minimum(wc, 2 * w32)), bits
+
+    words32, bits = enc_full(b2)
+    max_bits = int(np.asarray(bits).max())
+    w = (max_bits + 31) // 32
+    slots = -(-32 // group)
+    t_rows = w * slots
+    print(f"n={n} k={k} s={s} group={group} W={w} t_rows={t_rows}")
+
+    w3 = jax.device_put(jnp.asarray(words32[:w]).reshape(w, k // 128, 128))
+    ref = None
+    for blk in (8, 16, 32):
+        if (k // 128) % blk != 0:
+            continue
+        d_max = max(t_rows - s + 1, 0)
+        pad = 1 << (d_max.bit_length() - 1) if d_max >= 1 else 0
+        rows = 2 * (t_rows + pad) + w + 2 * s + t_rows
+        vmem = rows * blk * 128 * 4
+        print(f"blk={blk}: est VMEM {vmem/2**20:.1f} MiB", flush=True)
+        if vmem > 14 * (1 << 20):
+            print(f"blk={blk}: skip (VMEM)")
+            continue
+
+        def body(p, blk=blk):
+            out = decode_bitserial_pallas(
+                w3 + p.astype(jnp.uint32),
+                e_bound,
+                g_rank,
+                syms,
+                group=group,
+                out_len=s,
+                blk=blk,
+            )
+            return jnp.sum(out).astype(jnp.float32)
+
+        try:
+            out = decode_bitserial_pallas(
+                w3, e_bound, g_rank, syms, group=group, out_len=s, blk=blk
+            )
+            got = np.asarray(out).reshape(s, k).astype(np.uint8)
+            ok = np.array_equal(got, data.reshape(k, s).T)
+        except Exception as e:
+            print(f"blk={blk}: FAILED {type(e).__name__}: {str(e)[:200]}")
+            continue
+        print(f"blk={blk}: roundtrip {'OK' if ok else 'MISMATCH'}", flush=True)
+        timed(f"decode blk={blk}", lambda r: rep(body, r), n)
+
+
+if __name__ == "__main__":
+    main()
