@@ -34,6 +34,12 @@ _I32 = jnp.int32
 _BLK = 8  # sublane-groups (x128 lanes) per grid step
 
 
+def _compaction_pad(d_max: int) -> int:
+    """Scratch pad rows for the binary compaction rounds (the last round
+    reads up to row sh_max + T - 1, sh_max = highest displacement bit)."""
+    return 1 << (d_max.bit_length() - 1) if d_max >= 1 else 0
+
+
 def decode_kernel_fits(w: int, group: int, out_len: int) -> bool:
     """True when the fused kernel's VMEM working set fits a grid step.
 
@@ -44,7 +50,7 @@ def decode_kernel_fits(w: int, group: int, out_len: int) -> bool:
     slots = -(-32 // group)
     t_rows = w * slots
     d_max = max(t_rows - out_len + 1, 0)
-    pad = 1 << (d_max.bit_length() - 1) if d_max >= 1 else 0
+    pad = _compaction_pad(d_max)
     rows = 2 * (t_rows + pad) + w + 2 * out_len + t_rows
     return rows * 4096 <= 11 * (1 << 20)
 
@@ -54,7 +60,7 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk:
     T = t_rows
     shape = (blk, 128)
     d_max_static = max(T - out_len + 1, 0)
-    pad = 1 << (d_max_static.bit_length() - 1) if d_max_static >= 1 else 0
+    pad = _compaction_pad(d_max_static)
 
     def kernel(scal_ref, w_ref, syms_ref, out_ref, st_ref, st2_ref):
         # group <= l_min, so every length below `group` satisfies its
@@ -76,8 +82,12 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk:
             nx = jnp.where(w + 1 < w_rows, w_ref[jnp.minimum(w + 1, w_rows - 1)], 0)
             svals = [jnp.full(shape, -1, _I32)] * slots
             for j in range(32):
+                # Window bits [j, j+12) live entirely inside `cur` while
+                # j <= 20, so the next-word funnel term is dead there.
                 if j == 0:
                     win = (cur >> 20).astype(_I32)
+                elif j <= 20:
+                    win = ((cur << j) >> 20).astype(_I32)
                 else:
                     win = (((cur << j) | (nx >> (32 - j))) >> 20).astype(_I32)
                 ln = jnp.full(shape, group, _I32)
@@ -112,6 +122,10 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk:
         # Ping-pong between the two (padded) scratch buffers: each round
         # reads the base rows and a statically shifted slice — no rolls,
         # no wrap masking (the pad rows are zero and stay zero).
+        # (Radix-4 rounds — two displacement bits per round — were tried
+        # and measured SLOWER on v5e: 1.55 vs 1.48 ms at 16 MiB; the two
+        # extra slice reads and deeper select chain cost more than the
+        # halved round count.)
         st_ref[:T] = packed
         if pad:
             st_ref[T : T + pad] = jnp.zeros((pad, blk, 128), _I32)
@@ -131,24 +145,32 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk:
 
         codes = (src[:out_len] & 0x1FFF) - 1  # (out_len, BLK, 128)
 
-        # ---- Stage 3: length, rank, symbol (small tables by lane gather) --
+        # ---- Stage 3: length, rank, symbol ----
+        # Lane gathers cost ~50 elementwise ops each, so both small-table
+        # lookups are strength-reduced: g_rank[lw] unrolls into the compare
+        # loop (the indicators [code >= E[l]] are exactly the prefix form
+        # [l < lw], so the cumulative table telescopes into scalar deltas),
+        # and the 256-entry rank->symbol table becomes ONE gather of
+        # byte-packed pairs plus a parity select.
         lw = jnp.ones(codes.shape, _I32)
-        for e in eb_full:
-            lw = lw + (codes >= e).astype(_I32)
+        g = jnp.full(codes.shape, scal_ref[0, 17], _I32)  # g_rank[1]
+        for l, e in enumerate(eb_full, start=1):
+            ind = codes >= e
+            lw = lw + ind.astype(_I32)
+            g = g + jnp.where(ind, scal_ref[0, 17 + l] - scal_ref[0, 16 + l], 0)
         flat_rows = out_len * blk
-        g_tab = jnp.broadcast_to(syms_ref[2:3, :], (flat_rows, 128))
         lw2 = lw.reshape(flat_rows, 128)
-        g = jnp.take_along_axis(g_tab, lw2, axis=1)
         # Arithmetic shift keeps empty-row codes (-1) negative so the clip
         # lands them on rank 0 (degenerate single-symbol handling).
-        rank = (codes.reshape(flat_rows, 128) >> (MAX_CODE_LEN - lw2)) + g
+        rank = (codes.reshape(flat_rows, 128) >> (MAX_CODE_LEN - lw2)) + g.reshape(
+            flat_rows, 128
+        )
         rank = jnp.clip(rank, 0, 255)
 
-        lo = jnp.broadcast_to(syms_ref[0:1, :], (flat_rows, 128))
-        hi = jnp.broadcast_to(syms_ref[1:2, :], (flat_rows, 128))
-        a = jnp.take_along_axis(lo, rank & 127, axis=1)
-        b = jnp.take_along_axis(hi, rank & 127, axis=1)
-        out_ref[:] = jnp.where(rank < 128, a, b).reshape(out_len, blk, 128)
+        pairs = jnp.broadcast_to(syms_ref[0:1, :], (flat_rows, 128))
+        v = jnp.take_along_axis(pairs, rank >> 1, axis=1)
+        sym = jnp.where((rank & 1) == 1, v >> 8, v) & 0xFF
+        out_ref[:] = sym.reshape(out_len, blk, 128)
 
     return kernel
 
@@ -176,25 +198,24 @@ def decode_bitserial_pallas(words3, e_bound, g_rank, syms, *, group: int, out_le
     scal = jnp.zeros((1, 32), _I32)
     scal = scal.at[0, :14].set(e_bound.astype(_I32))
     scal = scal.at[0, 16 : 16 + 13].set(g_rank.astype(_I32))
-    # VMEM tables: rows 0/1 = rank->symbol (lo/hi half), row 2 = g_rank by
-    # code length (lanes 0..12) for the post-pass lane gathers.
-    syms2 = jnp.concatenate(
-        [
-            syms.astype(_I32).reshape(2, 128),
-            jnp.zeros((1, 128), _I32).at[0, :13].set(g_rank.astype(_I32)),
-        ]
-    )
+    # VMEM table: row 0 = rank->symbol byte-packed pairs (entry r holds
+    # sym[2r] | sym[2r+1]<<8), so the post-pass needs one lane gather per
+    # symbol; row 1 keeps the block sublane-even.
+    sp = syms.astype(_I32).reshape(2, 128)
+    flat = sp.reshape(-1)
+    packed = flat[0::2] | (flat[1::2] << 8)
+    syms2 = jnp.concatenate([packed.reshape(1, 128), jnp.zeros((1, 128), _I32)])
 
     kernel = _make_decode_kernel(W, group, out_len, t_rows, blk)
     d_max = max(t_rows - out_len + 1, 0)
-    pad = 1 << (d_max.bit_length() - 1) if d_max >= 1 else 0
+    pad = _compaction_pad(d_max)
     return pl.pallas_call(
         kernel,
         grid=(KR // blk,),
         in_specs=[
             pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((W, blk, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (out_len, blk, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM

@@ -5,8 +5,8 @@ One kernel pass replacing the XLA encode pipeline of
 lengths, split each code into <= 2 word-aligned pieces, monotone
 shift-plus-OR placement), with the three Pallas-only wins:
 
-* the 256-entry byte -> (code, len) lookup is a native Mosaic lane gather
-  (two 128-wide ``take_along_axis`` + select, ~75 G lookups/s) instead of
+* the 256-entry byte -> (code, len) lookup is ONE native Mosaic lane
+  gather (entries packed two-per-int32-lane, split by parity) instead of
   a one-hot MXU matmul;
 * prefix sums and placement rounds run on VMEM-resident arrays
   (``pltpu.roll`` + mask + add), no HBM round-trips between rounds;
@@ -42,14 +42,17 @@ def _shift_up(x, rows):
 
 
 def _lookup256_lanes(idx, tab_ref):
-    """256-entry lane-gather lookup; idx (R, BLK, 128) -> values."""
+    """256-entry lookup via ONE lane gather of 16-bit-packed entry pairs.
+
+    Lane gathers cost ~50 elementwise ops each, so the 256-entry table is
+    stored as 128 lanes of ``entry[2r] | entry[2r+1] << 16`` and the pair
+    is split by a parity select (entries are <= 16 bits: code<<4|len).
+    """
     r = idx.shape[0]
     flat = idx.reshape(r * _BLK, 128)
-    lo = jnp.broadcast_to(tab_ref[0:1, :], (r * _BLK, 128))
-    hi = jnp.broadcast_to(tab_ref[1:2, :], (r * _BLK, 128))
-    a = jnp.take_along_axis(lo, flat & 127, axis=1)
-    b = jnp.take_along_axis(hi, flat & 127, axis=1)
-    return jnp.where(flat < 128, a, b).reshape(idx.shape)
+    pairs = jnp.broadcast_to(tab_ref[0:1, :], (r * _BLK, 128))
+    v = jnp.take_along_axis(pairs, flat >> 1, axis=1)
+    return (jnp.where((flat & 1) == 1, v >> 16, v) & 0xFFFF).reshape(idx.shape)
 
 
 def _or_place_kernel(piece, disp, t_rows):
@@ -129,7 +132,10 @@ def encode_lanes_pallas(byte3, enc_table):
     """
     S, KR, _ = byte3.shape
     t_rows = min(S, (S * 12) // 16 + 2)
-    tab2 = enc_table.astype(_I32).reshape(2, 128)
+    flat = enc_table.astype(_I32)
+    tab2 = jnp.concatenate(
+        [(flat[0::2] | (flat[1::2] << 16)).reshape(1, 128), jnp.zeros((1, 128), _I32)]
+    )
 
     kernel = _make_encode_kernel(S, t_rows)
     words, bits = pl.pallas_call(
