@@ -54,7 +54,7 @@ import numpy as np
 from .. import coding
 from ..constants import MAX_CODE_LEN
 from ..ops.decode_bits import decode_bitserial, decode_tables_bitserial
-from ..ops.decode_pallas import decode_bitserial_pallas, decode_kernel_fits
+from ..ops.decode_pallas import decode_bitserial_pallas, decode_kernel_blk
 from ..ops.decode_words import pack_u16_words_to_u32
 from ..ops.encode import encode_lanes
 from ..ops.encode_pallas import encode_lanes_pallas
@@ -146,7 +146,12 @@ def _encode_full(data, s: int, k: int, w32: int, use_pallas: bool):
 
 
 def _encode_with_tables_body(padded, enc_table, s, k, w32, use_pallas):
-    b2 = padded.reshape(k, s).T.astype(jnp.int32)
+    # Strided lane mapping: byte i -> lane i % k, row i // k.  Unlike
+    # contiguous chunks, every lane samples the whole block, so per-lane
+    # bit counts stay near the mean even on locally skewed data (sorted
+    # runs): W (= max lane words, the decode scan bound) collapses to
+    # ~average, and the (s, k) view needs no physical transpose.
+    b2 = padded.reshape(s, k).astype(jnp.int32)
     if use_pallas:
         w3, bits3 = encode_lanes_pallas(b2.reshape(s, k // 128, 128), enc_table)
         words16 = w3.reshape(w3.shape[0], k)
@@ -194,13 +199,15 @@ def _encode_batch(blocks, s: int, k: int, w32: int, use_pallas: bool):
     return jax.vmap(one)(blocks)
 
 
-@functools.partial(jax.jit, static_argnames=("s", "group", "w", "use_pallas"))
-def _decode_batch(words, e_bound, g_rank, syms, s: int, group: int, w: int, use_pallas: bool):
+@functools.partial(jax.jit, static_argnames=("s", "group", "w", "blk"))
+def _decode_batch(words, e_bound, g_rank, syms, s: int, group: int, w: int, blk: int):
     def one(wds, eb, gr, sy):
         k = wds.shape[1]
-        if use_pallas:
+        if blk:
             w3 = jax.lax.slice_in_dim(wds, 0, w, axis=0).reshape(w, k // 128, 128)
-            out3 = decode_bitserial_pallas(w3, eb, gr, sy, group=group, out_len=s)
+            out3 = decode_bitserial_pallas(
+                w3, eb, gr, sy, group=group, out_len=s, blk=blk
+            )
             return out3.reshape(s, k).astype(jnp.uint8)
         wt = jax.lax.slice_in_dim(wds, 0, max(w, 1), axis=0)
         return decode_bitserial(
@@ -213,12 +220,14 @@ def _decode_batch(words, e_bound, g_rank, syms, s: int, group: int, w: int, use_
 @functools.partial(jax.jit, static_argnames=("s", "n", "group", "w"))
 def _decode_full(words, e_bound, g_rank, syms, s: int, n: int, group: int, w: int):
     k = words.shape[1]
-    # The fused kernel's VMEM footprint must fit a grid step; otherwise
-    # fall back to the XLA pipeline.
-    if _pallas_ok(k) and 0 < w and decode_kernel_fits(w, group, s):
+    # The fused kernel's VMEM footprint must fit a grid step; skewed
+    # workloads shrink the grid block before falling back to the XLA
+    # pipeline.
+    blk = decode_kernel_blk(w, group, s, k // 128) if _pallas_ok(k) and 0 < w else 0
+    if blk:
         w3 = jax.lax.slice_in_dim(words, 0, w, axis=0).reshape(w, k // 128, 128)
         out3 = decode_bitserial_pallas(
-            w3, e_bound, g_rank, syms, group=group, out_len=s
+            w3, e_bound, g_rank, syms, group=group, out_len=s, blk=blk
         )
         out = out3.reshape(s, k).astype(jnp.uint8)
     else:
@@ -232,7 +241,7 @@ def _decode_full(words, e_bound, g_rank, syms, s: int, n: int, group: int, w: in
             group=group,
             out_len=s,
         )
-    return out.T.reshape(-1)[:n]
+    return out.reshape(-1)[:n]
 
 
 class TpuCodec:
@@ -365,7 +374,7 @@ class TpuCodec:
         group = max(g for g in (1, 2, 3, 4, 6, 8) if g <= max(1, l_min))
         w = int((bits.max() + 31) // 32)
         w = max(min(-(-w // 4) * 4, words.shape[1]), 1)
-        use_pallas = _pallas_ok(k) and decode_kernel_fits(w, group, s)
+        blk = decode_kernel_blk(w, group, s, k // 128) if _pallas_ok(k) else 0
         out = _decode_batch(
             words,
             tables["e_bound"],
@@ -374,7 +383,7 @@ class TpuCodec:
             s,
             group,
             w,
-            use_pallas,
+            blk,
         )
         return out  # (B, S, K); caller reshapes per block
 

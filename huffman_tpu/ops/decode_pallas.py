@@ -40,19 +40,34 @@ def _compaction_pad(d_max: int) -> int:
     return 1 << (d_max.bit_length() - 1) if d_max >= 1 else 0
 
 
-def decode_kernel_fits(w: int, group: int, out_len: int) -> bool:
+def decode_kernel_fits(w: int, group: int, out_len: int, blk: int = _BLK) -> bool:
     """True when the fused kernel's VMEM working set fits a grid step.
 
-    Rows of (8, 128) int32 cost 4 KiB each; the kernel holds two padded
-    scratch buffers, the word block, the output block, and temporaries.
-    Budget ~11 MiB of the 16 MiB VMEM (the rest for pipelining slack).
+    Rows of (blk, 128) int32 cost blk*512 bytes each; the kernel holds two
+    padded scratch buffers, the word block, the output block, and
+    temporaries.  Budget ~11 MiB of the 16 MiB VMEM (the rest for
+    pipelining slack).
     """
     slots = -(-32 // group)
     t_rows = w * slots
     d_max = max(t_rows - out_len + 1, 0)
     pad = _compaction_pad(d_max)
     rows = 2 * (t_rows + pad) + w + 2 * out_len + t_rows
-    return rows * 4096 <= 11 * (1 << 20)
+    return rows * blk * 512 <= 11 * (1 << 20)
+
+
+def decode_kernel_blk(w: int, group: int, out_len: int, kr: int) -> int:
+    """Grid block (sublane-groups per step) the kernel fits at, else 0.
+
+    Only blk=8 is usable: Mosaic requires the sublane block dimension to
+    be divisible by 8 (narrower blocks were tried for skewed workloads
+    and rejected at lowering).  Skew is instead handled upstream by the
+    strided lane mapping, which bounds W near the per-lane average.
+    """
+    blk = _BLK
+    if kr % blk == 0 and decode_kernel_fits(w, group, out_len, blk):
+        return blk
+    return 0
 
 
 def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk: int = _BLK):

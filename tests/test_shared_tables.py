@@ -61,7 +61,8 @@ def test_encode_batch_roundtrip():
     blocks = rng.choice(256, size=(B, nb), p=p).astype(np.uint8)
     words, bits, tables = c.encode_batch(jnp.asarray(blocks))
     out = c.decode_batch(words, bits, tables, nb)
-    got = np.asarray(out).transpose(0, 2, 1).reshape(B, nb)
+    # Strided lane mapping: (B, S, K) flattens directly to (B, nb).
+    got = np.asarray(out).reshape(B, nb)
     np.testing.assert_array_equal(got, blocks)
 
 

@@ -47,7 +47,8 @@ def test_compressed_bits_match_oracle():
     data[:n] = np.frombuffer(raw, dtype=np.uint8)
     cc = coding.make_canonical_coding(coding.histogram(data))
     lens = cc.code_lens.astype(np.int64)
-    bits_ref = np.array([int(lens[data[i * s : (i + 1) * s]].sum()) for i in range(k)])
+    # Strided lane mapping: lane i holds bytes i, i+k, i+2k, ...
+    bits_ref = np.array([int(lens[data[i::k]].sum()) for i in range(k)])
     np.testing.assert_array_equal(bits_tpu, bits_ref)
 
 
