@@ -19,39 +19,44 @@ import time
 import numpy as np
 
 
-def sustained_seconds(body, reps: int = 32, tries: int = 3) -> float:
+def sustained_seconds(
+    body, reps: int = 32, tries: int = 2, max_reps: int = 512
+) -> float:
     """Seconds per run of ``body(pert)`` (a traced fn returning a f32
     scalar), measured by in-jit repetition.
 
-    Adaptive: doubles the repetition count until the repeated run is at
-    least ~15 ms above the single run, so fast kernels aren't lost in
-    dispatch-latency noise (each fetch costs ~26 ms on a tunneled TPU).
+    The repetition count is a *traced* ``fori_loop`` bound, so every rep
+    count shares ONE compiled program — escalating reps costs zero
+    recompiles (each fresh program costs 10-45 s through the remote-TPU
+    tunnel, which is what made the old per-rep-count compile scheme
+    timeout-prone).  Escalation is capped at ``max_reps``; with a 16 MiB
+    workload the starting count already clears the noise floor.
     """
     import jax
     import jax.numpy as jnp
 
-    def make(r):
-        @jax.jit
-        def f():
-            def it(i, acc):
-                pert = jnp.isnan(acc).astype(jnp.uint8)
-                return acc + body(pert)
+    @jax.jit
+    def f(r):
+        def it(i, acc):
+            pert = jnp.isnan(acc).astype(jnp.uint8)
+            return acc + body(pert)
 
-            return jax.lax.fori_loop(0, r, it, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, r, it, jnp.float32(0.0))
 
-        return f
+    def measure(r):
+        rr = jnp.int32(r)
+        float(f(rr))  # warm (first call per process compiles; later calls sync)
+        best = float("inf")
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            float(f(rr))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    def measure(f):
-        float(f())
-        return min(
-            (lambda t0=time.perf_counter(): (float(f()), time.perf_counter() - t0)[1])()
-            for _ in range(tries)
-        )
-
-    t1 = measure(make(1))
+    t1 = measure(1)
     while True:
-        tr = measure(make(reps))
-        if tr - t1 > 0.015 or reps >= 2048:
+        tr = measure(reps)
+        if tr - t1 > 0.015 or reps >= max_reps:
             break
         reps *= 4
     return max((tr - t1) / (reps - 1), 1e-9)

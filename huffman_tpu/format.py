@@ -81,30 +81,72 @@ def write_header(
 
 
 def parse_header(compressed: bytes | memoryview, k: int) -> ParsedHeader:
-    """Parse header written by `write_header` (reference: huffman.cpp:708-736)."""
+    """Parse header written by `write_header` (reference: huffman.cpp:708-736).
+
+    Unlike the reference ("not hardened against malformed input",
+    README.md:140-146, "TODO: Validate header" huffman.cpp:715), every
+    structural field is validated; corrupt input raises ValueError.
+    """
     buf = memoryview(compressed)
+    if len(buf) < 8:
+        raise ValueError("blob too short for header")
     raw_size, len_mask = struct.unpack_from("<II", buf, 0)
+    if len_mask >> (MAX_CODE_LEN + 1):
+        raise ValueError("len_mask has lengths beyond MAX_CODE_LEN")
     pos = 8
     len_count = np.zeros(MAX_CODE_LEN + 1, dtype=np.uint16)
     one_size = bin(len_mask).count("1") == 1
     num_syms = 0
     for ln in range(MAX_CODE_LEN + 1):
         if len_mask & (1 << ln):
+            if pos >= len(buf):
+                raise ValueError("truncated length counts")
             c = buf[pos]
             pos += 1
-            if one_size and c == 0:
-                assert ln == 8, "count overflow only legal for 256 8-bit codes"
+            if c == 0:
+                if not (one_size and ln == 8):
+                    raise ValueError(
+                        "count overflow only legal for 256 8-bit codes"
+                    )
                 c = 256
             len_count[ln] = c
             num_syms += c
+    if num_syms > 256:
+        raise ValueError(f"{num_syms} symbols > 256")
+    if num_syms == 0 and raw_size != 0:
+        raise ValueError("no symbols but nonzero raw size")
+    if num_syms >= 2:
+        if len_count[0]:
+            raise ValueError("zero-length codes are invalid")
+        kraft = int(
+            (
+                len_count.astype(np.int64)
+                << (MAX_CODE_LEN - np.arange(MAX_CODE_LEN + 1))
+            ).sum()
+        )
+        if kraft != 1 << MAX_CODE_LEN:
+            raise ValueError("length counts violate Kraft equality")
+    if pos + num_syms > len(buf):
+        raise ValueError("truncated symbol table")
     sorted_syms = np.frombuffer(buf[pos : pos + num_syms], dtype=np.uint8).copy()
     pos += num_syms
+    if pos + 4 * (k - 1) > len(buf):
+        raise ValueError("truncated stream offsets")
     end_offsets = np.zeros(k, dtype=np.int64)
     for i in range(k - 1):
         (end_offsets[i],) = struct.unpack_from("<I", buf, pos)
         pos += 4
     payload = buf[pos:]
     end_offsets[k - 1] = len(payload)
+    if (np.diff(np.concatenate([[0], end_offsets])) < 0).any() or (
+        end_offsets > len(payload)
+    ).any():
+        raise ValueError("stream offsets not monotonically within payload")
+    # Plausibility: every symbol costs >= 1 payload bit, so raw_size can
+    # never exceed 8x the payload (guards decode loops against a corrupt
+    # multi-GiB raw_size field).
+    if num_syms >= 2 and raw_size > 8 * len(payload):
+        raise ValueError("raw_size exceeds payload bit capacity")
     return ParsedHeader(
         raw_size=raw_size,
         len_count=len_count,

@@ -144,6 +144,10 @@ class JaxCodec:
         s = int(sizes_np.max())
 
         payload = np.frombuffer(h.payload, dtype=np.uint8)
+        if len(payload) == 0:
+            # Malformed (all-empty regions with nonzero raw size): keep the
+            # clipped fancy-index below in range; masks are all False.
+            payload = np.zeros(1, dtype=np.uint8)
         starts = np.concatenate([[0], h.end_offsets[:-1]])
         region_len = (h.end_offsets - starts).astype(np.int64)
         # Forward byte streams: each region reversed; drop the slop (the

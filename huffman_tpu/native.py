@@ -118,6 +118,13 @@ def decompress(blob: bytes, k: int) -> bytes:
 
         return golden.decompress(blob, k)
     n = lib.hh_raw_size(blob, len(blob))
+    if n > 8 * len(blob):
+        # Huffman can't expand more than 8x except for degenerate (<= 1
+        # symbol) blobs; validate the header BEFORE allocating n bytes so
+        # a corrupt raw_size field can't demand a multi-GiB buffer.
+        from . import format as fmt
+
+        fmt.parse_header(blob, k)  # raises ValueError when corrupt
     out = ctypes.create_string_buffer(max(n, 1))
     size = lib.hh_decompress(blob, len(blob), k, out, n)
     if size == ctypes.c_size_t(-1).value:

@@ -137,7 +137,9 @@ def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, ou
             c = jnp.where(boundary, ln - 1, c - 1)
         return c, jnp.stack(slot_val)
 
-    init = jnp.zeros(lanes_shape, _I32)
+    # Derive the zero carry from the payload (not a literal) so its vma
+    # type matches the body's output under shard_map's check_vma.
+    init = (w2[0] & 0).astype(_I32)
     _, staged = jax.lax.scan(step, init, (w2, nxt))  # (W, slots, *lanes)
     staged = staged.reshape(W * slots, K)
 

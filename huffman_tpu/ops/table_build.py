@@ -135,8 +135,12 @@ def _huffman_len_count(counts_desc, num_syms):
         st = merge(st, i + 1, i + 1 < n_internal)
         return st
 
+    # Queue-cursor carries start at zero *derived from n* (not a literal):
+    # under shard_map vma checking a literal is axis-invariant while the
+    # loop body makes the carry varying, which would reject the loop.
+    zero = n * 0
     a, _, _ = jax.lax.fori_loop(
-        0, (n_internal + 1) // 2, phase1_pair, (a0, jnp.int32(0), jnp.int32(0))
+        0, (n_internal + 1) // 2, phase1_pair, (a0, zero, zero)
     )
 
     # Phase 2: internal-node depths, in place (Moffat): root slot n-2 gets

@@ -23,17 +23,40 @@ import numpy as np
 from .sharded import make_mesh
 
 
+#: Tracks whether THIS module resolved initialization for the process —
+#: either by successfully initializing jax.distributed or by determining
+#: the environment is single-process.  (Inferring from
+#: ``jax.process_count() > 1`` was wrong: it is 1 before AND after a
+#: single-host init, so every call re-entered initialize().)
+_initialized = False
+
+
 def initialize(**kwargs) -> None:
-    """Initialize jax.distributed (idempotent; env-driven on TPU pods)."""
+    """Initialize jax.distributed once per process (env-driven on pods).
+
+    * Explicit ``kwargs`` (coordinator_address, num_processes, ...): a
+      failure propagates — a misconfigured multi-host job must not be
+      silently demoted to single-process.
+    * No kwargs: auto-detection runs; "no cluster found" (ValueError:
+      coordinator_address should be defined) means a single-process run
+      and is a no-op.  Any other error propagates.
+    * A second call (here or elsewhere) is a no-op.
+    """
+    global _initialized
+    if _initialized:
+        return
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # Single-process environment (tests, one-host runs): fine.
-        pass
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise  # genuine failure, not double-initialization
+    except ValueError:
+        if kwargs:
+            raise  # explicit config that fails must surface
+        # Auto-detection found no cluster: single-process environment.
+    _initialized = True
 
 
 def pod_mesh(stream: int | None = None, stream_per_host: bool = False):

@@ -160,9 +160,9 @@ def sharded_roundtrip(data, *, mesh, k, s, w32, group=1):
         mesh=mesh,
         in_specs=(spec_in,),
         out_specs=(spec_in, P("data", "stream"), P("data", None, "stream")),
-        # The table-build loops mix psum'd (stream-invariant) carries with
-        # literals; vma inference rejects that even though it is correct.
-        check_vma=False,
+        # vma checking stays ON (the loop carries in table_build/decode_bits
+        # derive their zeros from data, not literals, so inference passes).
+        check_vma=True,
     )(data)
     return out, bits, words
 

@@ -407,21 +407,37 @@ size_t hh_decompress(const uint8_t* blob, size_t blob_len, int k,
   size_t n = ReadU32(blob);
   uint32_t len_mask = ReadU32(blob + 4);
   if (n > out_cap) return (size_t)-1;
+  if (len_mask >> (kMaxLen + 1)) return (size_t)-1;
   size_t pos = 8;
 
   uint16_t len_count[kMaxLen + 1] = {};
-  int pops = __builtin_popcount(len_mask & ((1u << (kMaxLen + 1)) - 1));
+  int pops = __builtin_popcount(len_mask);
   int num_syms = 0;
   for (int l = 0; l <= kMaxLen; ++l) {
     if (len_mask & (1u << l)) {
       if (pos >= blob_len) return (size_t)-1;
       int c = blob[pos++];
-      if (pops == 1 && c == 0) c = 256;
+      if (c == 0) {
+        // Count-overflow encoding: only legal for 256 codes of length 8.
+        if (!(pops == 1 && l == 8)) return (size_t)-1;
+        c = 256;
+      }
       len_count[l] = (uint16_t)c;
       num_syms += c;
     }
   }
-  if (pos + num_syms > blob_len) return (size_t)-1;
+  // Structural validation (the reference skips this, README.md:140-146):
+  // an invalid Kraft sum would walk BuildTables' fill loops out of the
+  // 2^12-entry tables — heap corruption, not just garbage output.
+  if (num_syms > 256) return (size_t)-1;
+  if (num_syms >= 2) {
+    if (len_count[0]) return (size_t)-1;
+    uint64_t kraft = 0;
+    for (int l = 0; l <= kMaxLen; ++l)
+      kraft += (uint64_t)len_count[l] << (kMaxLen - l);
+    if (kraft != (1u << kMaxLen)) return (size_t)-1;
+  }
+  if (pos + (size_t)num_syms > blob_len) return (size_t)-1;
   const uint8_t* sorted_syms = blob + pos;
   pos += num_syms;
 
@@ -434,6 +450,11 @@ size_t hh_decompress(const uint8_t* blob, size_t blob_len, int k,
   const uint8_t* pay = blob + pos;
   size_t pay_len = blob_len - pos;
   endoff[k - 1] = pay_len;
+
+  // Plausibility: every symbol costs >= 1 payload bit, so raw_size can
+  // never exceed 8x the payload (guards against a corrupt multi-GiB
+  // raw_size field driving the decode loops).
+  if (num_syms >= 2 && n > 8 * pay_len) return (size_t)-1;
 
   if (num_syms == 0) return n == 0 ? 0 : (size_t)-1;
   if (num_syms == 1) {

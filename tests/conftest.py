@@ -28,3 +28,27 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run compile-heavy tests (full battery)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default run = fast core + parity set (< ~2 min warm); the
+    compile-heavy battery (sharded shard_map programs, Pallas interpret
+    sweeps, shape-diverse fuzz) needs --runslow."""
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="compile-heavy; run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -28,6 +28,7 @@ def _gen(rng, style, n):
     raise ValueError(style)
 
 
+@pytest.mark.slow
 def test_fuzz_tpu_profile():
     rng = np.random.default_rng(123)
     styles = ["uniform", "biased", "runs", "few"]
@@ -55,3 +56,42 @@ def test_fuzz_ref_profile_vs_golden():
         blob = native.compress(raw, k)
         assert blob == golden.compress(raw, k), f"case {i}"
         assert native.decompress(blob, k) == raw, f"case {i}"
+
+
+def test_malformed_ref_blob_raises_or_decodes():
+    """Byte corruptions / truncations of a ref-profile blob must raise
+    ValueError or produce (possibly wrong) bytes — never an assert,
+    IndexError, or native crash.  Closes the hardening gap the reference
+    admits (README.md:140-146, huffman.cpp:715 "TODO: Validate header")."""
+    from huffman_tpu import native
+
+    raw = (b"the quick brown fox " * 600)[:3_000]
+    k = 8
+    blob = bytearray(golden.compress(raw, k))
+    rng = np.random.default_rng(7)
+
+    def check(bad: bytes):
+        for dec in (
+            lambda b: golden.decompress(b, k),
+            lambda b: native.decompress(b, k),
+        ):
+            try:
+                out = dec(bad)
+                assert isinstance(out, bytes)
+            except ValueError:
+                pass
+
+    # Single-byte mutations (headers are the fragile part: bias there).
+    for _ in range(30):
+        bad = bytearray(blob)
+        i = int(rng.integers(0, min(64, len(bad))))
+        bad[i] ^= int(rng.integers(1, 256))
+        check(bytes(bad))
+    for _ in range(15):
+        bad = bytearray(blob)
+        i = int(rng.integers(0, len(bad)))
+        bad[i] ^= int(rng.integers(1, 256))
+        check(bytes(bad))
+    # Every truncation point in the header region, and a few in payload.
+    for cut in range(0, min(len(blob), 80)):
+        check(bytes(blob[:cut]))

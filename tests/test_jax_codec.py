@@ -33,6 +33,7 @@ def test_bit_exact_vs_golden(name, raw, k):
     assert golden.decompress(ours, k) == raw
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("k", [8])
 def test_many_random(k):
     c = JaxCodec(k)

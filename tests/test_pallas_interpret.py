@@ -40,6 +40,7 @@ def _setup(seed=0, k=1024, s=32, style="biased"):
     return data, cc, enc_table, t, b2
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("style", ["biased", "uniform"])
 def test_encode_kernel_matches_xla(style):
     k, s = 1024, 32
@@ -94,6 +95,7 @@ def test_decode_kernel_matches_xla(style):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("group", [1, 3, 6])
 def test_decode_kernel_group_variants(group):
     """Staging-group widths beyond the auto choice (1/3/6) stay bit-exact."""

@@ -6,6 +6,8 @@ import pytest
 
 from huffman_tpu.parallel import ShardedCodec, make_mesh
 
+pytestmark = pytest.mark.slow
+
 
 def _data(n, seed=0, style="biased"):
     rng = np.random.default_rng(seed)

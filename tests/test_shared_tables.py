@@ -14,6 +14,7 @@ def _biased(n, seed):
     return rng.choice(256, size=n, p=p).astype(np.uint8)
 
 
+@pytest.mark.slow
 def test_shared_tables_roundtrip():
     c = TpuCodec(k=256)
     sample = _biased(64 << 10, seed=0)
