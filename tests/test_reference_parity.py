@@ -28,7 +28,7 @@ pytestmark = pytest.mark.skipif(LIB is None, reason="reference oracle unavailabl
 
 SCALAR, AVX_GATHER, AVX_PERMUTE = 0, 1, 2
 KS_SCALAR = [1, 2, 4, 8, 16, 32]
-KS_AVX = [8, 16, 32]
+KS_AVX = [8, 16, 24, 32, 40, 48]  # all six reference instantiations (huffman.cpp:1999-2004)
 
 
 def _avx_ok():

@@ -29,29 +29,41 @@ SHIM = r"""
 using namespace huffman;
 
 namespace {
+// The reference explicitly instantiates scalar K in {1,2,4,8,16,32} and
+// AVX K in {8,16,24,32,40,48} (huffman.cpp:1992-2004); the templates are
+// defined in the .cpp, so the shim may only reference those K values.
+template <int K>
+constexpr bool kHasScalar =
+    K == 1 || K == 2 || K == 4 || K == 8 || K == 16 || K == 32;
+
 template <int K>
 std::string dispatch_compress(int method, std::string_view raw) {
-  switch (method) {
-    case 1: if constexpr (K % 8 == 0) return CompressMultiAvx512Gather<K>(raw); break;
-    case 2: if constexpr (K % 8 == 0) return CompressMultiAvx512Permute<K>(raw); break;
-    default: return CompressMulti<K>(raw);
+  if constexpr (K % 8 == 0) {
+    if (method == 1) return CompressMultiAvx512Gather<K>(raw);
+    if (method == 2) return CompressMultiAvx512Permute<K>(raw);
   }
-  return CompressMulti<K>(raw);
+  if constexpr (kHasScalar<K>)
+    if (method == 0) return CompressMulti<K>(raw);
+  return {};
 }
 template <int K>
 std::string dispatch_decompress(int method, std::string_view blob) {
-  switch (method) {
-    case 1: if constexpr (K % 8 == 0) return DecompressMultiAvx512Gather<K>(blob); break;
-    case 2: if constexpr (K % 8 == 0) return DecompressMultiAvx512Permute<K>(blob); break;
-    default: return DecompressMulti<K>(blob);
+  if constexpr (K % 8 == 0) {
+    if (method == 1) return DecompressMultiAvx512Gather<K>(blob);
+    if (method == 2) return DecompressMultiAvx512Permute<K>(blob);
   }
-  return DecompressMulti<K>(blob);
+  if constexpr (kHasScalar<K>)
+    if (method == 0) return DecompressMulti<K>(blob);
+  return {};
 }
 
 std::string run(int op, int k, int method, std::string_view in) {
   #define CASE(K) case K: return op == 0 ? dispatch_compress<K>(method, in) \
                                          : dispatch_decompress<K>(method, in);
-  switch (k) { CASE(1) CASE(2) CASE(4) CASE(8) CASE(16) CASE(32) }
+  // All six AVX K values the reference instantiates (huffman.cpp:1999-2004)
+  // plus its scalar set; 24/40/48 are shim-side implicit instantiations.
+  switch (k) { CASE(1) CASE(2) CASE(4) CASE(8) CASE(16) CASE(24)
+               CASE(32) CASE(40) CASE(48) }
   #undef CASE
   return {};
 }
@@ -68,8 +80,16 @@ extern "C" long ref_run(int op, int k, int method, const char* in,
 
 
 def build(verbose: bool = True) -> str | None:
-    """Build (if needed) and return the library path, or None on failure."""
-    if os.path.exists(LIB_PATH):
+    """Build (if needed) and return the library path, or None on failure.
+
+    Rebuilds when the shim source changed (e.g. new K instantiations)."""
+    shim_path = os.path.join(BUILD_DIR, "shim.cpp")
+    try:
+        with open(shim_path) as f:
+            shim_current = f.read() == SHIM
+    except OSError:
+        shim_current = False
+    if os.path.exists(LIB_PATH) and shim_current:
         return LIB_PATH
     src = os.path.join(REFERENCE_DIR, "codec")
     if not os.path.isdir(src):
@@ -87,7 +107,6 @@ def build(verbose: bool = True) -> str | None:
             "inline string format(string_view f, Args&&...) { return string(f); }\n"
             "}\n"
         )
-    shim_path = os.path.join(BUILD_DIR, "shim.cpp")
     with open(shim_path, "w") as f:
         f.write(SHIM)
     cmd = [
