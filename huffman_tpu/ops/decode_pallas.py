@@ -35,8 +35,9 @@ _BLK = 8  # sublane-groups (x128 lanes) per grid step
 
 
 def _compaction_pad(d_max: int) -> int:
-    """Scratch pad rows for the binary compaction rounds (the last round
-    reads up to row sh_max + T - 1, sh_max = highest displacement bit)."""
+    """Scratch pad rows for the binary compaction rounds: the first
+    (largest-shift) round reads up to row out_len + 2*sh_max - 2 =
+    T + (2*sh_max - d_max) - 1, so sh_max pad rows always suffice."""
     return 1 << (d_max.bit_length() - 1) if d_max >= 1 else 0
 
 
@@ -96,23 +97,55 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk:
             cur = w_ref[w]
             nx = jnp.where(w + 1 < w_rows, w_ref[jnp.minimum(w + 1, w_rows - 1)], 0)
             svals = [jnp.full(shape, -1, _I32)] * slots
-            for j in range(32):
-                # Window bits [j, j+12) live entirely inside `cur` while
-                # j <= 20, so the next-word funnel term is dead there.
+
+            def full_at(j):
+                # Bits [j, j+12) end up in the top 12 after a later >> 20;
+                # while j <= 20 they live entirely inside `cur`, so the
+                # next-word funnel term is dead there.
                 if j == 0:
-                    win = (cur >> 20).astype(_I32)
-                elif j <= 20:
-                    win = ((cur << j) >> 20).astype(_I32)
-                else:
-                    win = (((cur << j) | (nx >> (32 - j))) >> 20).astype(_I32)
-                ln = jnp.full(shape, group, _I32)
-                for e in eb:
-                    ln = ln + (win >= e).astype(_I32)
-                boundary = c == 0
-                sl = j // group
-                svals[sl] = jnp.where(boundary, (c2 << 12) | win, svals[sl])
-                c = jnp.where(boundary, ln - 1, c - 1)
-                c2 = c2 + boundary.astype(_I32)
+                    return cur
+                if j <= 20:
+                    return cur << j
+                return (cur << j) | (nx >> (32 - j))
+
+            if group == 1:
+                for j in range(32):
+                    win = (full_at(j) >> 20).astype(_I32)
+                    ln = jnp.full(shape, group, _I32)
+                    for e in eb:
+                        ln = ln + (win >= e).astype(_I32)
+                    boundary = c == 0
+                    sl = j // group
+                    svals[sl] = jnp.where(boundary, (c2 << 12) | win, svals[sl])
+                    c = jnp.where(boundary, ln - 1, c - 1)
+                    c2 = c2 + boundary.astype(_I32)
+            else:
+                # One-boundary-per-group scan.  Codes are >= group bits
+                # (group <= l_min and the length chain itself never yields
+                # < group), so a group of `wd` bit positions contains at
+                # most ONE boundary — at offset `c` when c < wd.  The
+                # 12-wide compare chain therefore runs once per GROUP on
+                # the boundary's selected window instead of once per bit:
+                # the decode-throughput analog of the reference's
+                # multi-symbol-per-step tables (huffman.cpp:634-704),
+                # expressed as multi-BIT steps of the lockstep scan.
+                for sl in range(slots):
+                    j0 = sl * group
+                    wd = min(group, 32 - j0)
+                    full_b = full_at(j0)
+                    for i in range(1, wd):
+                        full_b = jnp.where(c == i, full_at(j0 + i), full_b)
+                    bany = c < wd
+                    win = (full_b >> 20).astype(_I32)
+                    ln = jnp.full(shape, group, _I32)
+                    for e in eb:
+                        ln = ln + (win >= e).astype(_I32)
+                    svals[sl] = jnp.where(bany, (c2 << 12) | win, svals[sl])
+                    # Boundary at offset c: after it the countdown is
+                    # ln - 1, minus the (wd - 1 - c) bits left in the
+                    # group  =>  ln + c - wd.  No boundary: c - wd.
+                    c = jnp.where(bany, ln + c, c) - wd
+                    c2 = c2 + bany.astype(_I32)
             for sl in range(slots):
                 st_ref[w * slots + sl] = svals[sl]
             return (c, c2)
@@ -145,6 +178,14 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk:
         if pad:
             st_ref[T : T + pad] = jnp.zeros((pad, blk, 128), _I32)
             st2_ref[T : T + pad] = jnp.zeros((pad, blk, 128), _I32)
+        # Rounds MUST run ascending (LSB-first): with dest rows strictly
+        # increasing and displacement steps in {0,1}, clearing low bits
+        # first keeps intermediate rows (dest + remaining_high_bits)
+        # strictly ordered, so an arriving entry never collides with a
+        # staying one.  (MSB-first with shrinking working heights was
+        # tried for ~38% less row traffic: intermediate rows invert and
+        # valid entries overwrite each other — simulation shows ~75% of
+        # random cases corrupt.)
         src, dst = st_ref, st2_ref
         sh = 1
         while sh <= d_max:
