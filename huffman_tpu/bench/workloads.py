@@ -89,10 +89,28 @@ def synthetic_text(n: int = LEN, seed: int = 1) -> bytes:
     return text.encode()[:n].ljust(n, b" ")
 
 
+#: Checked-in real-file corpus: 4 MiB of concatenated Python standard
+#: library sources (assembled once, deterministic; real program text with
+#: natural-language comments).  The zero-egress build can't fetch enwik8
+#: (huffman_benchmark.cpp:38-59), so this is the measured 'file' row's
+#: default input; pass --file to benchmark any other file.
+CORPUS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "benchmarks",
+    "corpus.bin",
+)
+
+
 def file_data(path: str | None, n: int = LEN) -> bytes:
     if path and os.path.exists(path):
         with open(path, "rb") as f:
             return f.read(n)
+    if os.path.exists(CORPUS_PATH):
+        with open(CORPUS_PATH, "rb") as f:
+            data = f.read(n)
+        if len(data) < n:  # tile to the requested size
+            data = (data * (n // max(len(data), 1) + 1))[:n]
+        return data
     return synthetic_text(n)
 
 

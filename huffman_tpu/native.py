@@ -104,11 +104,15 @@ def compress(raw: bytes, k: int) -> bytes:
 
         return golden.compress(raw, k)
     bound = lib.hh_compress_bound(len(raw), k)
-    out = ctypes.create_string_buffer(bound)
-    size = lib.hh_compress(raw, len(raw), k, out, bound)
+    # np.empty, not create_string_buffer: the latter zero-fills the whole
+    # bound (~2x input) per call, which dominated wrapper time.
+    out = np.empty(bound, dtype=np.uint8)
+    size = lib.hh_compress(
+        raw, len(raw), k, out.ctypes.data_as(ctypes.c_void_p), bound
+    )
     if size == 0:
         raise RuntimeError("native compress failed")
-    return out.raw[:size]
+    return out[:size].tobytes()
 
 
 def decompress(blob: bytes, k: int) -> bytes:
@@ -125,11 +129,13 @@ def decompress(blob: bytes, k: int) -> bytes:
         from . import format as fmt
 
         fmt.parse_header(blob, k)  # raises ValueError when corrupt
-    out = ctypes.create_string_buffer(max(n, 1))
-    size = lib.hh_decompress(blob, len(blob), k, out, n)
+    out = np.empty(max(n, 1), dtype=np.uint8)
+    size = lib.hh_decompress(
+        blob, len(blob), k, out.ctypes.data_as(ctypes.c_void_p), n
+    )
     if size == ctypes.c_size_t(-1).value:
         raise ValueError("corrupt ref-profile blob")
-    return out.raw[:n]
+    return out[:n].tobytes()
 
 
 def histogram(data: bytes) -> np.ndarray:

@@ -41,23 +41,38 @@ struct Coding {
 // reference's banked histograms, histogram.cpp:14-92; implementation
 // is our own).
 void Histogram(const uint8_t* p, size_t n, uint64_t out[kNumSyms]) {
-  uint32_t bank[4][kNumSyms] = {};
+  // Eight banks, one per byte position of a 16-byte step: on repetitive
+  // (skewed) data a narrower banking repeatedly increments the same
+  // counter back-to-back and stalls on store-to-load forwarding — the
+  // exact effect the reference's 8 interleaved arrays dodge
+  // (histogram.cpp:18-20).
+  uint32_t bank[8][kNumSyms] = {};
   size_t i = 0;
-  for (; i + 8 <= n; i += 8) {
-    uint64_t w;
-    std::memcpy(&w, p + i, 8);
-    bank[0][w & 0xFF]++;
-    bank[1][(w >> 8) & 0xFF]++;
-    bank[2][(w >> 16) & 0xFF]++;
-    bank[3][(w >> 24) & 0xFF]++;
-    bank[0][(w >> 32) & 0xFF]++;
-    bank[1][(w >> 40) & 0xFF]++;
-    bank[2][(w >> 48) & 0xFF]++;
-    bank[3][w >> 56]++;
+  for (; i + 16 <= n; i += 16) {
+    uint64_t w0, w1;
+    std::memcpy(&w0, p + i, 8);
+    std::memcpy(&w1, p + i + 8, 8);
+    bank[0][w0 & 0xFF]++;
+    bank[1][(w0 >> 8) & 0xFF]++;
+    bank[2][(w0 >> 16) & 0xFF]++;
+    bank[3][(w0 >> 24) & 0xFF]++;
+    bank[4][(w0 >> 32) & 0xFF]++;
+    bank[5][(w0 >> 40) & 0xFF]++;
+    bank[6][(w0 >> 48) & 0xFF]++;
+    bank[7][w0 >> 56]++;
+    bank[0][w1 & 0xFF]++;
+    bank[1][(w1 >> 8) & 0xFF]++;
+    bank[2][(w1 >> 16) & 0xFF]++;
+    bank[3][(w1 >> 24) & 0xFF]++;
+    bank[4][(w1 >> 32) & 0xFF]++;
+    bank[5][(w1 >> 40) & 0xFF]++;
+    bank[6][(w1 >> 48) & 0xFF]++;
+    bank[7][w1 >> 56]++;
   }
   for (; i < n; ++i) bank[0][p[i]]++;
   for (int v = 0; v < kNumSyms; ++v)
-    out[v] = (uint64_t)bank[0][v] + bank[1][v] + bank[2][v] + bank[3][v];
+    out[v] = (uint64_t)bank[0][v] + bank[1][v] + bank[2][v] + bank[3][v] +
+             bank[4][v] + bank[5][v] + bank[6][v] + bank[7][v];
 }
 
 // ---------------- canonical coding ----------------
@@ -366,29 +381,85 @@ size_t hh_compress(const uint8_t* data, size_t n, int k, uint8_t* out,
   uint8_t* pay = out + hdr.size();
   std::memset(pay, 0, payload);
 
-  size_t off = 0;
-  size_t rstart = 0;
-  for (int s = 0; s < k; ++s) {
-    BitWriter bw(pay + rstart + region[s]);
-    const uint8_t* p = data + off;
-    size_t m = sizes[s];
-    size_t i = 0;
+  // Merged encode table: one load per symbol (code<<8 | len) instead of
+  // two array reads.
+  uint32_t enc[kNumSyms];
+  for (int v = 0; v < kNumSyms; ++v)
+    enc[v] = ((uint32_t)cc.code_bits[v] << 8) | cc.code_lens[v];
+
+  // Streams are encoded in PAIRS: two independent acc/nbits chains keep
+  // the out-of-order core busy where a single writer's serial
+  // accumulator RMW chain stalls it — the encode-side use of the
+  // reference's multi-chain insight (README.md:15-27).  Bit output per
+  // stream is unchanged (bit-exact vs the golden model).
+  std::vector<size_t> rs(k);
+  {
+    size_t rstart = 0, off2 = 0;
+    for (int s = 0; s < k; ++s) {
+      rs[s] = rstart;
+      rstart += region[s];
+      off2 += sizes[s];
+    }
+  }
+  std::vector<size_t> ob(k);
+  {
+    size_t oo = 0;
+    for (int s = 0; s < k; ++s) {
+      ob[s] = oo;
+      oo += sizes[s];
+    }
+  }
+  auto encode_tail = [&](BitWriter& bw, const uint8_t* p, size_t i, size_t m) {
     for (; i + 4 <= m; i += 4) {
       // 4 codes (<= 48 bits) per bulk flush, as the reference's writer
       // batches 4 WriteFast per Flush (huffman.cpp:832-836).
-      bw.Put(cc.code_bits[p[i]], cc.code_lens[p[i]]);
-      bw.Put(cc.code_bits[p[i + 1]], cc.code_lens[p[i + 1]]);
-      bw.Put(cc.code_bits[p[i + 2]], cc.code_lens[p[i + 2]]);
-      bw.Put(cc.code_bits[p[i + 3]], cc.code_lens[p[i + 3]]);
+      uint32_t e0 = enc[p[i]], e1 = enc[p[i + 1]];
+      uint32_t e2 = enc[p[i + 2]], e3 = enc[p[i + 3]];
+      bw.Put(e0 >> 8, e0 & 0xFF);
+      bw.Put(e1 >> 8, e1 & 0xFF);
+      bw.Put(e2 >> 8, e2 & 0xFF);
+      bw.Put(e3 >> 8, e3 & 0xFF);
       bw.FlushBulk();
     }
-    for (; i < m; ++i) bw.Put(cc.code_bits[p[i]], cc.code_lens[p[i]]);
+    for (; i < m; ++i) bw.Put(enc[p[i]] >> 8, enc[p[i]] & 0xFF);
     bw.Finish();
+  };
+  int s = 0;
+  for (; s + 2 <= k; s += 2) {
+    BitWriter bwa(pay + rs[s] + region[s]);
+    BitWriter bwb(pay + rs[s + 1] + region[s + 1]);
+    const uint8_t* pa = data + ob[s];
+    const uint8_t* pb = data + ob[s + 1];
+    size_t ma = sizes[s], mb = sizes[s + 1];
+    size_t both = std::min(ma, mb) & ~(size_t)3;
+    size_t i = 0;
+    for (; i < both; i += 4) {
+      uint32_t a0 = enc[pa[i]], a1 = enc[pa[i + 1]];
+      uint32_t a2 = enc[pa[i + 2]], a3 = enc[pa[i + 3]];
+      uint32_t b0 = enc[pb[i]], b1 = enc[pb[i + 1]];
+      uint32_t b2 = enc[pb[i + 2]], b3 = enc[pb[i + 3]];
+      bwa.Put(a0 >> 8, a0 & 0xFF);
+      bwb.Put(b0 >> 8, b0 & 0xFF);
+      bwa.Put(a1 >> 8, a1 & 0xFF);
+      bwb.Put(b1 >> 8, b1 & 0xFF);
+      bwa.Put(a2 >> 8, a2 & 0xFF);
+      bwb.Put(b2 >> 8, b2 & 0xFF);
+      bwa.Put(a3 >> 8, a3 & 0xFF);
+      bwb.Put(b3 >> 8, b3 & 0xFF);
+      bwa.FlushBulk();
+      bwb.FlushBulk();
+    }
+    encode_tail(bwa, pa, i, ma);
+    encode_tail(bwb, pb, i, mb);
     // Bulk flushes smear not-yet-final bits below the final stream head;
     // the format keeps slop bytes zero (bit-exact vs the golden model).
-    std::memset(pay + rstart, 0, (size_t)(bw.end - (pay + rstart)));
-    off += m;
-    rstart += region[s];
+    std::memset(pay + rs[s], 0, (size_t)(bwa.end - (pay + rs[s])));
+    std::memset(pay + rs[s + 1], 0, (size_t)(bwb.end - (pay + rs[s + 1])));
+  }
+  for (; s < k; ++s) {
+    BitWriter bw(pay + rs[s] + region[s]);
+    encode_tail(bw, data + ob[s], 0, sizes[s]);
+    std::memset(pay + rs[s], 0, (size_t)(bw.end - (pay + rs[s])));
   }
   return total_size;
 }
@@ -523,15 +594,19 @@ size_t hh_decompress(const uint8_t* blob, size_t blob_len, int k,
     size_t m0 = sizes[s0], m1 = sizes[s0 + 1], m2 = sizes[s0 + 2],
            m3 = sizes[s0 + 3];
     size_t mmin = std::min(std::min(m0, m1), std::min(m2, m3));
-    size_t guard = (mmin >= 5) ? mmin - 5 : 0;  // 2 rounds x <=2 syms + s1 slot
+    size_t guard = (mmin >= 9) ? mmin - 9 : 0;  // 4 rounds x <=2 syms + s1 slot
     size_t imax = 0;
     while (imax < guard) {
       br0.Fill();
       br1.Fill();
       br2.Fill();
       br3.Fill();
-      // Two D2 decodes per stream per refill (<= 48 bits consumed).
-      for (int rep = 0; rep < 2; ++rep) {
+      // FOUR D2 decodes per stream per refill: a Fill leaves >= 56 bits
+      // and the last of four 12-bit peeks starts at offset <= 36, so one
+      // refill covers the whole round (the reference's 4-rounds-per-
+      // refill interleave, huffman.cpp:931-948) — halves refill cost vs
+      // the previous 2-per-refill loop.
+      for (int rep = 0; rep < 4; ++rep) {
         const D2& a0 = t2[br0.Peek12()];
         const D2& a1 = t2[br1.Peek12()];
         const D2& a2 = t2[br2.Peek12()];

@@ -1,0 +1,146 @@
+"""Streaming (shared-table) and batched-blocks benchmarks on the real chip.
+
+Measures, on the biased headline distribution:
+
+1. Shared-table streaming pipeline: `build_tables` once, then
+   `encode_device(..., tables=...)` / `decode_device` per 16 MiB block —
+   compress, decompress AND the combined round-trip rate (the column
+   RESULTS.md r1 left blank).
+2. Batched-blocks scaling: B x 100 KiB blocks encoded/decoded in one
+   program (`encode_batch`/`decode_batch`) for B in a sweep, showing how
+   per-block table-build cost amortizes (the TPU answer to the
+   reference's 100 KiB granularity, huffman_benchmark.cpp:19).
+
+Usage: python tools/bench_streaming.py [--fast] [--out benchmarks/streaming.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def biased(n, seed=0):
+    rng = np.random.default_rng(seed)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    return rng.choice(256, size=n, p=p).astype(np.uint8)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--out", type=str, default="benchmarks/streaming.json")
+    ap.add_argument("--block-mib", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from huffman_tpu.bench.harness import sustained_seconds
+    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.models.tpu_codec import (
+        TpuCodec,
+        _encode_with_tables,
+        _decode_full,
+    )
+
+    results = {}
+
+    # ---- 1. shared-table streaming (16 MiB blocks, one table) ----
+    n = args.block_mib << 20
+    data = biased(n)
+    d = jax.device_put(jnp.asarray(data))
+    codec = TpuCodec()
+    tables = codec.build_tables(d)  # dictionary built from the first block
+    comp = codec.encode_device(d, tables=tables)
+    out = codec.decode_device(comp)
+    ok = np.array_equal(np.asarray(out), data)
+    assert ok, "streaming round-trip mismatch"
+
+    k = comp.k
+    s = -(-n // k)
+    w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
+    m = comp.meta()
+    group = max(g for g in (1, 2, 3, 4, 6, 8) if g <= max(1, min(m["l_min"], 32)))
+    w = min(-(-((m["max_bits"] + 31) // 32) // 4) * 4, w32)
+    use_pallas = jax.default_backend() != "cpu" and k % 1024 == 0 and 2 <= s <= 256
+    enc_t = tables["enc_table"]
+    eb, gr, sy = (
+        comp.tables["e_bound"],
+        comp.tables["g_rank"],
+        comp.tables["sorted_syms"],
+    )
+    words = comp.words
+    if words.shape[0] < w:
+        words = jnp.concatenate([words, jnp.zeros((w - words.shape[0], k), words.dtype)])
+
+    def enc_once(pert):
+        w32_, bits = _encode_with_tables(d + pert, enc_t, s, k, w32, use_pallas)
+        return jnp.sum(bits).astype(jnp.float32)
+
+    def dec_once(pert):
+        o = _decode_full(words + pert.astype(jnp.uint32), eb, gr, sy, s, n, group, w)
+        return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
+
+    def combined_once(pert):
+        w32a, bits = _encode_with_tables(d + pert, enc_t, s, k, w32, use_pallas)
+        wa = jax.lax.slice_in_dim(w32a, 0, w, axis=0)
+        o = _decode_full(wa, eb, gr, sy, s, n, group, w)
+        return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
+
+    reps = 8 if args.fast else 32
+    t_c = sustained_seconds(enc_once, reps=reps)
+    t_d = sustained_seconds(dec_once, reps=reps)
+    t_rt = sustained_seconds(combined_once, reps=reps)
+    gib = 1 << 30
+    results["streaming_shared_table"] = {
+        "block_bytes": n,
+        "compress_GiB_s": round(n / t_c / gib, 3),
+        "decompress_GiB_s": round(n / t_d / gib, 3),
+        "combined_GiB_s": round(n / t_rt / gib, 3),
+        "ratio": round(n / (int(np.asarray(comp.bit_counts).sum()) / 8), 4),
+        "roundtrip_ok": bool(ok),
+    }
+    print("streaming:", json.dumps(results["streaming_shared_table"]))
+
+    # ---- 2. batched 100 KiB blocks scaling curve ----
+    nb = 100 << 10
+    curve = []
+    bs = [1, 4, 16, 64, 160] if not args.fast else [1, 16, 160]
+    codec_b = TpuCodec(k=1024)  # 100 KiB / 1024 lanes = 100 B/lane
+    for b in bs:
+        blocks_np = biased(b * nb, seed=b).reshape(b, nb)
+        blocks = jax.device_put(jnp.asarray(blocks_np))
+        wordsb, bitsb, tablesb = codec_b.encode_batch(blocks)
+        outb = codec_b.decode_batch(wordsb, bitsb, tablesb, nb)
+        got = np.asarray(outb).transpose(0, 2, 1).reshape(b, -1)[:, :nb]
+        ok_b = np.array_equal(got, blocks_np)
+
+        def enc_b(pert, blocks=blocks, b=b):
+            w_, bits_, t_ = codec_b.encode_batch(blocks + pert)
+            return (jnp.sum(bits_) + jnp.sum(t_["enc_table"])).astype(jnp.float32)
+
+        t_cb = sustained_seconds(enc_b, reps=max(2, reps // max(1, b // 8)))
+        curve.append(
+            {
+                "blocks": b,
+                "compress_GiB_s": round(b * nb / t_cb / gib, 3),
+                "roundtrip_ok": bool(ok_b),
+            }
+        )
+        print("batched:", json.dumps(curve[-1]))
+    results["batched_100KiB_curve"] = curve
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"written": args.out}))
+
+
+if __name__ == "__main__":
+    main()
