@@ -5,9 +5,13 @@ this is the finished tool: compress/decompress files with either format
 profile, with verification and timing.
 
 Usage:
-  python -m huffman_tpu.cli compress   IN OUT [--profile tpu|ref] [--k K]
-  python -m huffman_tpu.cli decompress IN OUT [--profile tpu|ref] [--k K]
-  python -m huffman_tpu.cli roundtrip  IN      [--profile tpu|ref] [--k K]
+  python -m huffman_tpu.cli compress   IN OUT [--profile tpu|ref|native] [--k K]
+  python -m huffman_tpu.cli decompress IN OUT [--profile tpu|ref|native] [--k K]
+  python -m huffman_tpu.cli roundtrip  IN      [--profile tpu|ref|native] [--k K]
+
+Profiles: ``tpu`` — device codec, block container; ``ref`` — reference-
+compatible wire format through the JAX kernels; ``native`` — the same
+ref format through the C++ host runtime (no device needed).
 
 File container (tpu profile): `huffman_tpu.container` block framing —
 fixed blocks (--block, default 16 MiB) padded to uniform size (one
@@ -33,7 +37,11 @@ def _codec(profile: str, k: int | None):
         from .models.jax_codec import JaxCodec
 
         return JaxCodec(k or 32)
-    raise SystemExit(f"unknown profile {profile!r} (use tpu|ref)")
+    if profile == "native":
+        from .native import NativeCodec
+
+        return NativeCodec(k or 32)
+    raise SystemExit(f"unknown profile {profile!r} (use tpu|ref|native)")
 
 
 def compress_file(inp: str, out: str, profile: str, k: int | None, block: int) -> dict:
@@ -41,7 +49,7 @@ def compress_file(inp: str, out: str, profile: str, k: int | None, block: int) -
     t0 = time.perf_counter()
     n_in = n_out = 0
     with open(inp, "rb") as fi, open(out, "wb") as fo:
-        if profile == "ref":
+        if profile != "tpu":
             raw = fi.read()
             blob = codec.compress(raw)
             fo.write(blob)
@@ -63,7 +71,7 @@ def decompress_file(inp: str, out: str, profile: str, k: int | None) -> dict:
     t0 = time.perf_counter()
     n_in = n_out = 0
     with open(inp, "rb") as fi, open(out, "wb") as fo:
-        if profile == "ref":
+        if profile != "tpu":
             blob = fi.read()
             raw = codec.decompress(blob)
             fo.write(raw)
@@ -90,7 +98,7 @@ def main(argv=None):
         p.add_argument("input")
         if name != "roundtrip":
             p.add_argument("output")
-        p.add_argument("--profile", default="tpu", choices=("tpu", "ref"))
+        p.add_argument("--profile", default="tpu", choices=("tpu", "ref", "native"))
         p.add_argument("--k", type=int, default=None)
         p.add_argument("--block", type=int, default=16 << 20)
     args = ap.parse_args(argv)
@@ -101,14 +109,14 @@ def main(argv=None):
         print(
             f"{r['in']} -> {r['out']} bytes "
             f"(ratio {r['in'] / max(r['out'], 1):.3f}) in {r['seconds']:.3f}s "
-            f"[{mbs:.0f} MiB/s incl. host framing]"
+            f"[{mbs:.1f} MiB/s incl. host framing]"
         )
     elif args.cmd == "decompress":
         r = decompress_file(args.input, args.output, args.profile, args.k)
         mbs = r["out"] / max(r["seconds"], 1e-9) / (1 << 20)
         print(
             f"{r['in']} -> {r['out']} bytes in {r['seconds']:.3f}s "
-            f"[{mbs:.0f} MiB/s incl. host framing]"
+            f"[{mbs:.1f} MiB/s incl. host framing]"
         )
     else:  # roundtrip
         import hashlib

@@ -61,3 +61,41 @@ def test_out_len_trim():
     got, counts = compact_lanes(vals, valid, out_len=8)
     assert got.shape == (8, 1)
     np.testing.assert_array_equal(np.asarray(got)[:, 0], np.arange(8))
+
+
+def test_displacement_rounds_lsb_first_randomized():
+    """Randomized model of the kernel's stage-2 displacement rounds
+    (ops/decode_pallas.py): LSB-first binary shifts compact any monotone
+    staged pattern without collisions.  (MSB-first provably corrupts —
+    intermediate rows invert — which is why the kernel's round order is
+    load-bearing; see the kernel comment.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for _ in range(300):
+        T = int(rng.integers(4, 100))
+        out_len = int(rng.integers(1, T + 1))
+        d_max = T - out_len + 1
+        valid = rng.random(T) < rng.uniform(0.2, 1.0)
+        if valid.sum() < out_len:
+            continue
+        rank = np.cumsum(valid) - 1
+        disp = np.arange(T) - rank
+        if disp[valid].max(initial=0) > d_max:
+            continue
+        win = rng.integers(0, 4096, T)
+        packed = np.where(valid, (disp << 13) | (win + 1), 0).astype(np.int64)
+        pad = 1 << (int(d_max).bit_length() - 1) if d_max >= 1 else 0
+        src = np.concatenate([packed, np.zeros(pad, np.int64)])
+        dst = np.zeros_like(src)
+        sh = 1
+        while sh <= d_max:
+            base, xs = src[:T], src[sh : sh + T]
+            arrive = ((xs >> 13) & sh) != 0
+            stay = ((base >> 13) & sh) == 0
+            dst[:T] = np.where(arrive, xs - (sh << 13), np.where(stay, base, 0))
+            src, dst = dst.copy(), src
+            sh <<= 1
+        got = src[:out_len] & 0x1FFF
+        want = (win[valid] + 1)[:out_len]
+        np.testing.assert_array_equal(got[: len(want)], want)

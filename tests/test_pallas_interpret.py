@@ -96,9 +96,9 @@ def test_decode_kernel_matches_xla(style):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("group", [1, 3, 6])
+@pytest.mark.parametrize("group", [1, 2, 3, 4, 6, 8])
 def test_decode_kernel_group_variants(group):
-    """Staging-group widths beyond the auto choice (1/3/6) stay bit-exact."""
+    """Every staging-group width (incl. the pair/quad one-boundary scans) stays bit-exact."""
     k, s = 1024, 32
     data, cc, enc_table, t, b2 = _setup(style="flat48", k=k, s=s)
     if group > t["l_min"]:
