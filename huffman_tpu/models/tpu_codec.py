@@ -54,7 +54,12 @@ import numpy as np
 from .. import coding
 from ..constants import MAX_CODE_LEN
 from ..ops.decode_bits import decode_bitserial, decode_tables_bitserial
-from ..ops.decode_pallas import decode_bitserial_pallas, decode_kernel_blk
+from ..ops.decode_pallas import (
+    DENSE_SPEC,
+    chain_spec,
+    decode_bitserial_pallas,
+    decode_kernel_blk,
+)
 from ..ops.decode_words import pack_u16_words_to_u32
 from ..ops.encode import encode_lanes
 from ..ops.encode_pallas import encode_lanes_pallas
@@ -217,8 +222,13 @@ def _decode_batch(words, e_bound, g_rank, syms, s: int, group: int, w: int, blk:
     return jax.vmap(one)(words, e_bound, g_rank, syms)
 
 
-@functools.partial(jax.jit, static_argnames=("s", "n", "group", "w"))
-def _decode_full(words, e_bound, g_rank, syms, s: int, n: int, group: int, w: int):
+@functools.partial(
+    jax.jit, static_argnames=("s", "n", "group", "w", "spec", "syms_identity")
+)
+def _decode_full(
+    words, e_bound, g_rank, syms, s: int, n: int, group: int, w: int,
+    spec: tuple = DENSE_SPEC, syms_identity: bool = False,
+):
     k = words.shape[1]
     # The fused kernel's VMEM footprint must fit a grid step; skewed
     # workloads shrink the grid block before falling back to the XLA
@@ -227,7 +237,8 @@ def _decode_full(words, e_bound, g_rank, syms, s: int, n: int, group: int, w: in
     if blk:
         w3 = jax.lax.slice_in_dim(words, 0, w, axis=0).reshape(w, k // 128, 128)
         out3 = decode_bitserial_pallas(
-            w3, e_bound, g_rank, syms, group=group, out_len=s, blk=blk
+            w3, e_bound, g_rank, syms, group=group, out_len=s, blk=blk,
+            spec=spec, syms_identity=syms_identity,
         )
         out = out3.reshape(s, k).astype(jnp.uint8)
     else:
@@ -324,8 +335,24 @@ class TpuCodec:
         # group <= l_min is correct (one emit max per group).
         l_min = max(1, min(m["l_min"], 32))
         group = max(g for g in (1, 2, 3, 4, 6, 8) if g <= l_min)
+        # Scan cost is linear in W, so round W up only to a multiple of 2
+        # (program-cache bucketing): rounding to 4 wasted up to 3 words
+        # (~15% decode) per block.
         w = (m["max_bits"] + 31) // 32
-        w = min(-(-w // 4) * 4, (s * MAX_CODE_LEN + 31) // 32 + 1)
+        w = min(-(-w // 2) * 2, (s * MAX_CODE_LEN + 31) // 32 + 1)
+        # Present-length specialization: absent code lengths collapse
+        # compare-chain terms.  Only specialize when >= 2 terms drop, so
+        # dense alphabets share ONE compiled program (spec is a static
+        # compile key).
+        spec = chain_spec(m["len_count"])
+        if len(spec) > len(DENSE_SPEC) - 2:
+            spec = DENSE_SPEC
+        # Monotone-frequency sources canonicalize to an identity
+        # rank->symbol map; the kernel then skips the per-symbol gather.
+        ns = m["num_syms"]
+        syms_identity = bool(
+            np.array_equal(m["sorted_syms"][:ns], np.arange(ns))
+        )
         words = comp.words
         if words.shape[0] < w:
             words = jnp.concatenate(
@@ -340,6 +367,8 @@ class TpuCodec:
             n,
             group,
             w,
+            spec,
+            syms_identity,
         )
 
     # ---------- batched device API ----------

@@ -71,19 +71,62 @@ def decode_kernel_blk(w: int, group: int, out_len: int, kr: int) -> int:
     return 0
 
 
-def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk: int = _BLK):
+#: Dense compare-chain spec: one (level, multiplicity=1) term per code
+#: length 1..11.
+DENSE_SPEC = tuple((l, 1) for l in range(1, MAX_CODE_LEN))
+
+
+def chain_spec(len_count) -> tuple:
+    """Collapse the canonical-compare chain by present lengths.
+
+    Levels l and l-1 share a bound (E[l] == E[l-1]) exactly when no code
+    has length l, so a run of absent lengths contributes ONE compare with
+    an integer multiplicity instead of `run` compares — the TPU analog of
+    the reference specializing work to the actual code-length set.
+    Returns a tuple of (level, multiplicity) runs covering levels 1..11;
+    equals DENSE_SPEC when every length is present.  Output bits are
+    IDENTICAL for any valid spec (equal indicators merely sum).
+    """
+    import numpy as np
+
+    lc = np.asarray(len_count)
+    spec: list[tuple[int, int]] = []
+    for l in range(1, MAX_CODE_LEN):
+        if spec and lc[l] == 0:
+            spec[-1] = (spec[-1][0], spec[-1][1] + 1)
+        else:
+            spec.append((l, 1))
+    return tuple(spec)
+
+
+def _make_decode_kernel(
+    w_rows: int,
+    group: int,
+    out_len: int,
+    t_rows: int,
+    blk: int = _BLK,
+    scan: str = "bit",
+    spec: tuple = DENSE_SPEC,
+    debug_stages: int = 3,
+    syms_identity: bool = False,
+):
     slots = -(-32 // group)
     T = t_rows
     shape = (blk, 128)
     d_max_static = max(T - out_len + 1, 0)
     pad = _compaction_pad(d_max_static)
+    # Scan terms: levels >= group only (group <= l_min, so every length
+    # below `group` satisfies its canonical compare; fold those into the
+    # initial count).  A run straddling `group` keeps only its levels
+    # >= group in the multiplicity.
+    scan_spec = []
+    for l, m in spec:
+        cnt = min(l + m - 1, MAX_CODE_LEN - 1) - max(l, group) + 1
+        if cnt > 0:
+            scan_spec.append((l, cnt))
 
     def kernel(scal_ref, w_ref, syms_ref, out_ref, st_ref, st2_ref):
-        # group <= l_min, so every length below `group` satisfies its
-        # canonical compare (E[l] <= E[l_min - 1] <= any window's value
-        # region); fold those into the initial count and skip the ops.
-        eb = [scal_ref[0, l] for l in range(group, MAX_CODE_LEN)]
-        eb_full = [scal_ref[0, l] for l in range(1, MAX_CODE_LEN)]
+        eb = [(scal_ref[0, l], m) for l, m in scan_spec]
 
         # ---- Stage 1: lockstep bit scan ----
         # fori_loop (not an unrolled Python loop) keeps the traced program
@@ -108,12 +151,33 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk:
                     return cur << j
                 return (cur << j) | (nx >> (32 - j))
 
-            if group == 1:
+            def tree_sum(parts):
+                while len(parts) > 1:
+                    parts = [
+                        parts[i] + parts[i + 1] for i in range(0, len(parts) - 1, 2)
+                    ] + ([parts[-1]] if len(parts) % 2 else [])
+                return parts[0]
+
+            def ln_parts(win):
+                parts = [jnp.full(shape, group, _I32)]
+                for e, m in eb:
+                    ind = win >= e
+                    parts.append(
+                        ind.astype(_I32) if m == 1 else jnp.where(ind, m, 0)
+                    )
+                return parts
+
+            if scan == "bit" or group == 1:
+                # Per-bit scan: window + compare chain at EVERY bit.  More
+                # total ops than the group scan, but every bit's chain is
+                # independent of the countdown — only the 3-op c update is
+                # serial, so the VPU pipelines the rest across bits.
                 for j in range(32):
                     win = (full_at(j) >> 20).astype(_I32)
-                    ln = jnp.full(shape, group, _I32)
-                    for e in eb:
-                        ln = ln + (win >= e).astype(_I32)
+                    parts = ln_parts(win)
+                    ln = parts[0]
+                    for t in parts[1:]:
+                        ln = ln + t
                     boundary = c == 0
                     sl = j // group
                     svals[sl] = jnp.where(boundary, (c2 << 12) | win, svals[sl])
@@ -137,9 +201,16 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk:
                         full_b = jnp.where(c == i, full_at(j0 + i), full_b)
                     bany = c < wd
                     win = (full_b >> 20).astype(_I32)
-                    ln = jnp.full(shape, group, _I32)
-                    for e in eb:
-                        ln = ln + (win >= e).astype(_I32)
+                    if scan == "group_tree":
+                        # Balanced-tree indicator sum: the chain sits ON
+                        # the serial c -> select -> ln -> c path here, so
+                        # its latency (not just op count) matters.
+                        ln = tree_sum(ln_parts(win))
+                    else:
+                        parts = ln_parts(win)
+                        ln = parts[0]
+                        for t in parts[1:]:
+                            ln = ln + t
                     svals[sl] = jnp.where(bany, (c2 << 12) | win, svals[sl])
                     # Boundary at offset c: after it the countdown is
                     # ln - 1, minus the (wd - 1 - c) bits left in the
@@ -153,6 +224,10 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk:
         jax.lax.fori_loop(
             0, w_rows, row_step, (jnp.zeros(shape, _I32), jnp.zeros(shape, _I32))
         )
+
+        if debug_stages <= 1:  # perf probe: scan only
+            out_ref[:] = st_ref[:out_len]
+            return
 
         # ---- Stage 2: stable per-lane compaction (displacement rounds) ----
         staged = st_ref[:T]
@@ -201,6 +276,10 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk:
 
         codes = (src[:out_len] & 0x1FFF) - 1  # (out_len, BLK, 128)
 
+        if debug_stages <= 2:  # perf probe: scan + compaction only
+            out_ref[:] = codes
+            return
+
         # ---- Stage 3: length, rank, symbol ----
         # Lane gathers cost ~50 elementwise ops each, so both small-table
         # lookups are strength-reduced: g_rank[lw] unrolls into the compare
@@ -210,10 +289,12 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk:
         # byte-packed pairs plus a parity select.
         lw = jnp.ones(codes.shape, _I32)
         g = jnp.full(codes.shape, scal_ref[0, 17], _I32)  # g_rank[1]
-        for l, e in enumerate(eb_full, start=1):
-            ind = codes >= e
-            lw = lw + ind.astype(_I32)
-            g = g + jnp.where(ind, scal_ref[0, 17 + l] - scal_ref[0, 16 + l], 0)
+        for l, m in spec:
+            ind = codes >= scal_ref[0, l]
+            lw = lw + (ind.astype(_I32) if m == 1 else jnp.where(ind, m, 0))
+            # Run l..l+m-1 shares one indicator; the telescoping g_rank
+            # deltas over the run combine into one span delta.
+            g = g + jnp.where(ind, scal_ref[0, 16 + l + m] - scal_ref[0, 16 + l], 0)
         flat_rows = out_len * blk
         lw2 = lw.reshape(flat_rows, 128)
         # Arithmetic shift keeps empty-row codes (-1) negative so the clip
@@ -223,18 +304,40 @@ def _make_decode_kernel(w_rows: int, group: int, out_len: int, t_rows: int, blk:
         )
         rank = jnp.clip(rank, 0, 255)
 
-        pairs = jnp.broadcast_to(syms_ref[0:1, :], (flat_rows, 128))
-        v = jnp.take_along_axis(pairs, rank >> 1, axis=1)
-        sym = jnp.where((rank & 1) == 1, v >> 8, v) & 0xFF
-        out_ref[:] = sym.reshape(out_len, blk, 128)
+        if syms_identity:
+            # Monotone-frequency sources (freq non-increasing in symbol
+            # value — e.g. the reference's biased generator and sorted
+            # data) canonicalize to sorted_syms == identity, so
+            # rank -> symbol needs NO lookup at all.  Detected host-side;
+            # saves one lane gather (~50 elementwise-op equivalents) per
+            # emitted symbol row.
+            out_ref[:] = rank.reshape(out_len, blk, 128)
+        else:
+            pairs = jnp.broadcast_to(syms_ref[0:1, :], (flat_rows, 128))
+            v = jnp.take_along_axis(pairs, rank >> 1, axis=1)
+            sym = jnp.where((rank & 1) == 1, v >> 8, v) & 0xFF
+            out_ref[:] = sym.reshape(out_len, blk, 128)
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "out_len", "blk")
+    jax.jit, static_argnames=("group", "out_len", "blk", "scan", "spec", "debug_stages", "syms_identity")
 )
-def decode_bitserial_pallas(words3, e_bound, g_rank, syms, *, group: int, out_len: int, blk: int = _BLK):
+def decode_bitserial_pallas(
+    words3,
+    e_bound,
+    g_rank,
+    syms,
+    *,
+    group: int,
+    out_len: int,
+    blk: int = _BLK,
+    scan: str = "auto",
+    spec: tuple = DENSE_SPEC,
+    debug_stages: int = 3,
+    syms_identity: bool = False,
+):
     """Fused TPU decode.
 
     Args:
@@ -262,7 +365,16 @@ def decode_bitserial_pallas(words3, e_bound, g_rank, syms, *, group: int, out_le
     packed = flat[0::2] | (flat[1::2] << 8)
     syms2 = jnp.concatenate([packed.reshape(1, 128), jnp.zeros((1, 128), _I32)])
 
-    kernel = _make_decode_kernel(W, group, out_len, t_rows, blk)
+    if scan == "auto":
+        # Measured on v5e (16 MiB biased, W=20, present-length spec): the
+        # per-bit scan wins — 10.66 GiB/s vs 10.47 (group_tree) and 8.21
+        # (grouped scan with a sequential indicator sum).  The grouped
+        # scan's fewer ops sit on the serial c -> select -> ln -> c
+        # chain, and even tree-reduced its latency eats the op savings.
+        scan = "bit"
+    kernel = _make_decode_kernel(
+        W, group, out_len, t_rows, blk, scan, spec, debug_stages, syms_identity
+    )
     d_max = max(t_rows - out_len + 1, 0)
     pad = _compaction_pad(d_max)
     return pl.pallas_call(

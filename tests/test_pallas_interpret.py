@@ -32,6 +32,10 @@ def _setup(seed=0, k=1024, s=32, style="biased"):
         data = rng.integers(0, 48, size=k * s, dtype=np.uint8)
     else:
         data = rng.integers(0, 256, size=k * s, dtype=np.uint8)
+    return _setup_from(data, k=k, s=s)
+
+
+def _setup_from(data, k, s):
     hist = np.bincount(data, minlength=256)
     cc = coding.make_canonical_coding(hist.astype(np.uint64))
     enc_table = jnp.asarray(tables.pack_encode_table(cc).astype(np.int32))
@@ -125,3 +129,81 @@ def test_decode_kernel_group_variants(group):
         )
     got = np.asarray(out_p).reshape(s, k).astype(np.uint8).T.reshape(-1)
     np.testing.assert_array_equal(got, data)
+
+
+@pytest.mark.slow
+def test_decode_kernel_present_length_spec():
+    """A collapsed compare-chain spec (absent lengths folded into
+    multiplicities) must produce bit-identical output to the dense one."""
+    from huffman_tpu.ops.decode_pallas import DENSE_SPEC, chain_spec
+
+    k, s = 1024, 32
+    data, cc, enc_table, t, b2 = _setup(style="flat48", k=k, s=s)
+    spec = chain_spec(cc.len_count)
+    assert spec != DENSE_SPEC, "flat48 corpus must have absent lengths"
+    valid = jnp.ones((s, k), bool)
+    w16, wc, bits = encode_lanes(b2, valid, enc_table)
+    from huffman_tpu.constants import MAX_CODE_LEN
+
+    w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
+    w16p = jnp.concatenate(
+        [w16, jnp.zeros((2 * w32c - w16.shape[0], k), w16.dtype)]
+    )
+    words32 = pack_u16_words_to_u32(w16p, jnp.minimum(wc, 2 * w32c))
+    w = int((np.asarray(bits).max() + 31) // 32)
+    words = jnp.asarray(np.asarray(words32[:w])).reshape(w, k // 128, 128)
+    eb, gr, sy = (
+        jnp.asarray(t["e_bound"]),
+        jnp.asarray(t["g_rank"]),
+        jnp.asarray(t["syms"]),
+    )
+    group = min(t["l_min"], 4)
+    with pltpu.force_tpu_interpret_mode():
+        dense = decode_bitserial_pallas(
+            words, eb, gr, sy, group=group, out_len=s, spec=DENSE_SPEC
+        )
+        sparse = decode_bitserial_pallas(
+            words, eb, gr, sy, group=group, out_len=s, spec=spec
+        )
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(sparse))
+
+
+@pytest.mark.slow
+def test_decode_kernel_identity_syms():
+    """When sorted_syms is the identity map, the gather-free fast path
+    must produce the same bytes as the general gather path."""
+    k, s = 1024, 32
+    # Strictly monotone frequencies (no ties): canonicalizes to identity.
+    reps = (1 << (15 - np.arange(12))).astype(np.int64)  # 32768 .. 16
+    pool = np.repeat(np.arange(12, dtype=np.uint8), reps)
+    data = np.random.default_rng(5).permutation(pool)[: k * s]
+    assert len(data) == k * s
+    data, cc, enc_table, t, b2 = _setup_from(data, k=k, s=s)
+    assert np.array_equal(
+        np.asarray(cc.sorted_syms[: cc.num_syms]), np.arange(cc.num_syms)
+    ), "monotone corpus must canonicalize to identity sorted_syms"
+    valid = jnp.ones((s, k), bool)
+    w16, wc, bits = encode_lanes(b2, valid, enc_table)
+    from huffman_tpu.constants import MAX_CODE_LEN
+
+    w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
+    w16p = jnp.concatenate(
+        [w16, jnp.zeros((2 * w32c - w16.shape[0], k), w16.dtype)]
+    )
+    words32 = pack_u16_words_to_u32(w16p, jnp.minimum(wc, 2 * w32c))
+    w = int((np.asarray(bits).max() + 31) // 32)
+    words = jnp.asarray(np.asarray(words32[:w])).reshape(w, k // 128, 128)
+    eb, gr, sy = (
+        jnp.asarray(t["e_bound"]),
+        jnp.asarray(t["g_rank"]),
+        jnp.asarray(t["syms"]),
+    )
+    group = min(t["l_min"], 4)
+    with pltpu.force_tpu_interpret_mode():
+        gen = decode_bitserial_pallas(
+            words, eb, gr, sy, group=group, out_len=s, syms_identity=False
+        )
+        fast = decode_bitserial_pallas(
+            words, eb, gr, sy, group=group, out_len=s, syms_identity=True
+        )
+    np.testing.assert_array_equal(np.asarray(gen), np.asarray(fast))
