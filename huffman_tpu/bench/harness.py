@@ -86,6 +86,8 @@ def bench_tpu_codec(codec, raw: bytes, reps: int = 32) -> dict:
     from ..constants import MAX_CODE_LEN
     from ..models.tpu_codec import _decode_full, _encode_full, _pallas_ok
 
+    from ..ops.decode_pallas import DENSE_SPEC, chain_spec
+
     n = len(raw)
     data = jnp.asarray(np.frombuffer(raw, dtype=np.uint8))
     comp = codec.encode_device(data)
@@ -98,6 +100,14 @@ def bench_tpu_codec(codec, raw: bytes, reps: int = 32) -> dict:
     w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
     group = max(1, min(m["l_min"], 32))
     w = (m["max_bits"] + 31) // 32
+    # Mirror decode_device's static specializations.
+    spec = chain_spec(m["len_count"])
+    if len(spec) > len(DENSE_SPEC) - 2:
+        spec = DENSE_SPEC
+    ns = m["num_syms"]
+    syms_identity = bool(
+        np.array_equal(m["sorted_syms"][:ns], np.arange(ns))
+    )
     use_pallas = _pallas_ok(k) and 2 <= s <= 256
 
     def enc_once(pert):
@@ -112,7 +122,10 @@ def bench_tpu_codec(codec, raw: bytes, reps: int = 32) -> dict:
     )
 
     def dec_once(pert):
-        o = _decode_full(words + pert.astype(jnp.uint32), eb, gr, sy, s, n, group, w)
+        o = _decode_full(
+            words + pert.astype(jnp.uint32), eb, gr, sy, s, n, group, w,
+            spec, syms_identity,
+        )
         return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
 
     t_c = sustained_seconds(enc_once, reps=reps)

@@ -118,7 +118,8 @@ def main():
         blocks = jax.device_put(jnp.asarray(blocks_np))
         wordsb, bitsb, tablesb = codec_b.encode_batch(blocks)
         outb = codec_b.decode_batch(wordsb, bitsb, tablesb, nb)
-        got = np.asarray(outb).transpose(0, 2, 1).reshape(b, -1)[:, :nb]
+        # Strided lane mapping: (B, S, K) flattens directly to (B, nb).
+        got = np.asarray(outb).reshape(b, -1)[:, :nb]
         ok_b = np.array_equal(got, blocks_np)
 
         def enc_b(pert, blocks=blocks, b=b):
