@@ -124,7 +124,7 @@ def bench_tpu_codec(codec, raw: bytes, reps: int = 32) -> dict:
     def dec_once(pert):
         o = _decode_full(
             words + pert.astype(jnp.uint32), eb, gr, sy, s, n, group, w,
-            spec, syms_identity,
+            spec, syms_identity, comp.bit_counts,
         )
         return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
 

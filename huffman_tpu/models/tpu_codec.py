@@ -227,7 +227,7 @@ def _decode_batch(words, e_bound, g_rank, syms, s: int, group: int, w: int, blk:
 )
 def _decode_full(
     words, e_bound, g_rank, syms, s: int, n: int, group: int, w: int,
-    spec: tuple = DENSE_SPEC, syms_identity: bool = False,
+    spec: tuple = DENSE_SPEC, syms_identity: bool = False, bit_counts=None,
 ):
     k = words.shape[1]
     # The fused kernel's VMEM footprint must fit a grid step; skewed
@@ -236,9 +236,16 @@ def _decode_full(
     blk = decode_kernel_blk(w, group, s, k // 128) if _pallas_ok(k) and 0 < w else 0
     if blk:
         w3 = jax.lax.slice_in_dim(words, 0, w, axis=0).reshape(w, k // 128, 128)
+        # Per-grid-step scan bound from the exact per-lane bit counts:
+        # each 1024-lane step scans only to ITS max words, not the global
+        # max (lane-length skew costs ~10% otherwise).
+        step_words = None
+        if bit_counts is not None:
+            bc = bit_counts.reshape(-1, blk * 128).max(axis=1)
+            step_words = (bc + 31) // 32
         out3 = decode_bitserial_pallas(
             w3, e_bound, g_rank, syms, group=group, out_len=s, blk=blk,
-            spec=spec, syms_identity=syms_identity,
+            spec=spec, syms_identity=syms_identity, step_words=step_words,
         )
         out = out3.reshape(s, k).astype(jnp.uint8)
     else:
@@ -369,6 +376,7 @@ class TpuCodec:
             w,
             spec,
             syms_identity,
+            comp.bit_counts,
         )
 
     # ---------- batched device API ----------

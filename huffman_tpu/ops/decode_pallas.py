@@ -125,8 +125,15 @@ def _make_decode_kernel(
         if cnt > 0:
             scan_spec.append((l, cnt))
 
-    def kernel(scal_ref, w_ref, syms_ref, out_ref, st_ref, st2_ref):
+    def kernel(scal_ref, wstop_ref, w_ref, syms_ref, out_ref, st_ref, st2_ref):
         eb = [(scal_ref[0, l], m) for l, m in scan_spec]
+        # Per-grid-step scan bound: this step's 1024 lanes may use far
+        # fewer words than the global max (lane-length skew); scan only
+        # to THIS block's max and zero the remaining staged rows (a row
+        # write is ~50x cheaper than scanning the word it replaces).
+        w_stop = jnp.minimum(
+            jnp.maximum(wstop_ref[pl.program_id(0)], 1), w_rows
+        )
 
         # ---- Stage 1: lockstep bit scan ----
         # fori_loop (not an unrolled Python loop) keeps the traced program
@@ -222,8 +229,15 @@ def _make_decode_kernel(
             return (c, c2)
 
         jax.lax.fori_loop(
-            0, w_rows, row_step, (jnp.zeros(shape, _I32), jnp.zeros(shape, _I32))
+            0, w_stop, row_step, (jnp.zeros(shape, _I32), jnp.zeros(shape, _I32))
         )
+
+        def zero_rows(w, _):
+            for sl in range(slots):
+                st_ref[w * slots + sl] = jnp.full(shape, -1, _I32)
+            return 0
+
+        jax.lax.fori_loop(w_stop, w_rows, zero_rows, 0)
 
         if debug_stages <= 1:  # perf probe: scan only
             out_ref[:] = st_ref[:out_len]
@@ -337,6 +351,7 @@ def decode_bitserial_pallas(
     spec: tuple = DENSE_SPEC,
     debug_stages: int = 3,
     syms_identity: bool = False,
+    step_words=None,
 ):
     """Fused TPU decode.
 
@@ -372,6 +387,9 @@ def decode_bitserial_pallas(
         # scan's fewer ops sit on the serial c -> select -> ln -> c
         # chain, and even tree-reduced its latency eats the op savings.
         scan = "bit"
+    n_steps = KR // blk
+    if step_words is None:
+        step_words = jnp.full((n_steps,), W, _I32)
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages, syms_identity
     )
@@ -382,6 +400,9 @@ def decode_bitserial_pallas(
         grid=(KR // blk,),
         in_specs=[
             pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            # Whole (n_steps,) array in SMEM each step (Mosaic requires
+            # full-array rank-1 blocks); indexed by program_id above.
+            pl.BlockSpec((n_steps,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((W, blk, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -393,4 +414,4 @@ def decode_bitserial_pallas(
             pltpu.VMEM((t_rows + pad, blk, 128), _I32),
             pltpu.VMEM((t_rows + pad, blk, 128), _I32),
         ],
-    )(scal, words3, syms2)
+    )(scal, step_words.astype(_I32), words3, syms2)

@@ -207,3 +207,40 @@ def test_decode_kernel_identity_syms():
             words, eb, gr, sy, group=group, out_len=s, syms_identity=True
         )
     np.testing.assert_array_equal(np.asarray(gen), np.asarray(fast))
+
+
+@pytest.mark.slow
+def test_decode_kernel_per_step_word_stop():
+    """Per-grid-step dynamic scan bounds (from exact bit counts) must be
+    bit-identical to scanning every step to the global W."""
+    k, s = 1024, 32
+    data, cc, enc_table, t, b2 = _setup(style="biased", k=k, s=s)
+    valid = jnp.ones((s, k), bool)
+    w16, wc, bits = encode_lanes(b2, valid, enc_table)
+    from huffman_tpu.constants import MAX_CODE_LEN
+
+    w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
+    w16p = jnp.concatenate(
+        [w16, jnp.zeros((2 * w32c - w16.shape[0], k), w16.dtype)]
+    )
+    words32 = pack_u16_words_to_u32(w16p, jnp.minimum(wc, 2 * w32c))
+    # Pad W beyond the true maximum so the dynamic stop has rows to skip.
+    w = int((np.asarray(bits).max() + 31) // 32) + 3
+    words = jnp.asarray(np.asarray(words32[:w])).reshape(w, k // 128, 128)
+    eb, gr, sy = (
+        jnp.asarray(t["e_bound"]),
+        jnp.asarray(t["g_rank"]),
+        jnp.asarray(t["syms"]),
+    )
+    group = min(t["l_min"], 4)
+    bc = np.asarray(bits).reshape(-1, 8 * 128).max(axis=1)
+    step_words = jnp.asarray((bc + 31) // 32, jnp.int32)
+    assert int(step_words.min()) < w  # the stop actually skips rows
+    with pltpu.force_tpu_interpret_mode():
+        full = decode_bitserial_pallas(
+            words, eb, gr, sy, group=group, out_len=s
+        )
+        stopped = decode_bitserial_pallas(
+            words, eb, gr, sy, group=group, out_len=s, step_words=step_words
+        )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(stopped))
