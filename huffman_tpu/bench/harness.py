@@ -32,33 +32,43 @@ def sustained_seconds(
     timeout-prone).  Escalation is capped at ``max_reps``; with a 16 MiB
     workload the starting count already clears the noise floor.
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def f(r):
-        def it(i, acc):
-            pert = jnp.isnan(acc).astype(jnp.uint8)
-            return acc + body(pert)
+    def it(i, acc):
+        pert = jnp.isnan(acc).astype(jnp.uint8)
+        return acc + body(pert)
 
+    # Static trip counts for the first ladder rungs (1 and `reps`): a
+    # dynamic fori_loop bound lowers to a while loop whose per-iteration
+    # overhead (~3-5% on ms-scale bodies) would be billed to the kernel.
+    # Escalation beyond `reps` (small bodies lost in dispatch noise)
+    # switches to ONE dynamic-bound program so arbitrarily higher rep
+    # counts cost zero further compiles.
+    @functools.partial(jax.jit, static_argnames=("r",))
+    def f_static(r):
+        return jax.lax.fori_loop(0, r, it, jnp.float32(0.0), unroll=False)
+
+    @jax.jit
+    def f_dyn(r):
         return jax.lax.fori_loop(0, r, it, jnp.float32(0.0))
 
-    def measure(r):
-        rr = jnp.int32(r)
-        float(f(rr))  # warm (first call per process compiles; later calls sync)
+    def measure(r, f, arg):
+        float(f(arg))  # warm (first call per (f, shape) compiles; later sync)
         best = float("inf")
         for _ in range(tries):
             t0 = time.perf_counter()
-            float(f(rr))
+            float(f(arg))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1 = measure(1)
-    while True:
-        tr = measure(reps)
-        if tr - t1 > 0.015 or reps >= max_reps:
-            break
+    t1 = measure(1, f_static, 1)
+    tr = measure(reps, f_static, reps)
+    while tr - t1 <= 0.015 and reps < max_reps:
         reps *= 4
+        tr = measure(reps, f_dyn, jnp.int32(reps))
     return max((tr - t1) / (reps - 1), 1e-9)
 
 

@@ -58,11 +58,149 @@ def make_mesh(devices=None, axis_names=("data", "stream"), stream=1) -> Mesh:
     return Mesh(devices.reshape(n // stream, stream), axis_names)
 
 
-def _block_encode(block_bytes, k_local, s):
-    """One block shard: (n_local,) u8 -> per-lane words + bit counts + hist."""
-    b = block_bytes.reshape(k_local, s).T.astype(jnp.int32)
-    hist = histogram256(block_bytes)
-    return b, hist
+def _shard_encode_one(block, k_local, s, w32, use_pallas):
+    """One block shard -> (words32, bit_counts, tables) with the SHARED
+    table (psum'd histogram over the 'stream' axis, huffman.cpp:762-766
+    distributed).
+
+    Framing is STRIDED within the shard (local byte b -> lane b % k_local,
+    row b // k_local), so when the host hands shard c the global strided
+    byte subset for lanes [c*k_local, (c+1)*k_local) the per-lane streams
+    equal the single-chip tpu profile's exactly — sharded-compressed
+    blobs are standard HTP3 blocks (see ShardedCodec.compress)."""
+    byte_mat = block.reshape(s, k_local).astype(jnp.int32)
+    hist = jax.lax.psum(histogram256(block), "stream")
+    t = build_coding_device(hist, serial_tree=False)
+
+    if use_pallas:
+        w3, bits3 = encode_lanes_pallas(
+            byte_mat.reshape(s, k_local // 128, 128), t["enc_table"]
+        )
+        words16 = w3.reshape(w3.shape[0], k_local)
+        bit_counts = bits3.reshape(k_local)
+        word_counts = (bit_counts + 15) >> 4
+    else:
+        valid = jnp.ones((s, k_local), bool)
+        words16, word_counts, bit_counts = encode_lanes(
+            byte_mat, valid, t["enc_table"]
+        )
+    rows = words16.shape[0]
+    if rows < 2 * w32:
+        words16 = jnp.concatenate(
+            [words16, jnp.zeros((2 * w32 - rows, k_local), words16.dtype)]
+        )
+    else:
+        words16 = jax.lax.slice_in_dim(words16, 0, 2 * w32, axis=0)
+    words32 = pack_u16_words_to_u32(words16, jnp.minimum(word_counts, 2 * w32))
+    return words32, bit_counts, t
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "s", "w32"))
+def sharded_encode(data, *, mesh, k, s, w32):
+    """Sharded compress step: one program over the ('data','stream') mesh.
+
+    Args/returns mirror `sharded_roundtrip`'s encode half; per-block table
+    metadata comes back replicated over 'stream' (P('data', None)) so the
+    host can serialize each block without further collectives — the
+    distributed form of the reference's exact-offsets trick
+    (huffman.cpp:770-786): per-lane bit counts are exact, so all
+    serialization offsets are computable with zero payload reshuffles.
+    """
+    n_stream = mesh.shape["stream"]
+    k_local = k // n_stream
+    use_pallas = (
+        jax.default_backend() != "cpu" and k_local % 1024 == 0 and 2 <= s <= 256
+    )
+
+    def step(blocks):
+        def one(block):
+            words32, bit_counts, t = _shard_encode_one(
+                block, k_local, s, w32, use_pallas
+            )
+            return (
+                words32,
+                bit_counts,
+                t["len_count"],
+                t["sorted_syms"],
+                t["num_syms"],
+            )
+
+        return jax.vmap(one)(blocks)
+
+    spec_in = P("data", "stream")
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(spec_in,),
+        out_specs=(
+            P("data", None, "stream"),
+            P("data", "stream"),
+            P("data", None),
+            P("data", None),
+            P("data"),
+        ),
+        check_vma=True,
+    )(data)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "s", "w", "group"))
+def sharded_decode(words, e_bound, g_rank, syms, *, mesh, k, s, w, group):
+    """Sharded decompress step: blocks over 'data', lanes over 'stream'.
+
+    Args:
+      words: (B, W, k) uint32, sharded P('data', None, 'stream').
+      e_bound/g_rank/syms: per-block decode constants, (B, ...), sharded
+        P('data', None) — identical on every stream shard.
+    Returns:
+      (B, N) uint8 decoded shard-local strided bytes.
+    """
+    n_stream = mesh.shape["stream"]
+    k_local = k // n_stream
+    use_pallas = (
+        jax.default_backend() != "cpu"
+        and k_local % 1024 == 0
+        and decode_kernel_fits(w, group, s)
+    )
+
+    def step(wds, eb, gr, sy):
+        def one(wv, eb1, gr1, sy1):
+            wt = jax.lax.slice_in_dim(wv, 0, max(w, 1), axis=0)
+            if use_pallas:
+                out3 = decode_bitserial_pallas(
+                    wt.reshape(w, k_local // 128, 128),
+                    eb1,
+                    gr1,
+                    sy1,
+                    group=group,
+                    out_len=s,
+                )
+                out = out3.reshape(s, k_local).astype(jnp.uint8)
+            else:
+                out = decode_bitserial(
+                    wt,
+                    jnp.zeros((k_local,), jnp.int32),
+                    eb1,
+                    gr1,
+                    sy1,
+                    group=group,
+                    out_len=s,
+                )
+            return out.reshape(-1)
+
+        return jax.vmap(one)(wds, eb, gr, sy)
+
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            P("data", None, "stream"),
+            P("data", None),
+            P("data", None),
+            P("data", None),
+        ),
+        out_specs=P("data", "stream"),
+        check_vma=True,
+    )(words, e_bound, g_rank, syms)
 
 
 @functools.partial(
@@ -100,36 +238,9 @@ def sharded_roundtrip(data, *, mesh, k, s, w32, group=1):
 
     def step(blocks):  # blocks: (B_local, k_local * s) u8
         def one(block):
-            byte_mat = block.reshape(k_local, s).T.astype(jnp.int32)
-            hist = histogram256(block)
-            # Shared table: reduce per-shard histograms across the lanes of
-            # this block (huffman.cpp:762-766, distributed).
-            hist = jax.lax.psum(hist, "stream")
-            t = build_coding_device(hist, serial_tree=False)
-
-            if use_pallas:
-                w3, bits3 = encode_lanes_pallas(
-                    byte_mat.reshape(s, k_local // 128, 128), t["enc_table"]
-                )
-                words16 = w3.reshape(w3.shape[0], k_local)
-                bit_counts = bits3.reshape(k_local)
-                word_counts = (bit_counts + 15) >> 4
-            else:
-                valid = jnp.ones((s, k_local), bool)
-                words16, word_counts, bit_counts = encode_lanes(
-                    byte_mat, valid, t["enc_table"]
-                )
-            rows = words16.shape[0]
-            if rows < 2 * w32:
-                words16 = jnp.concatenate(
-                    [words16, jnp.zeros((2 * w32 - rows, k_local), words16.dtype)]
-                )
-            else:
-                words16 = jax.lax.slice_in_dim(words16, 0, 2 * w32, axis=0)
-            words32 = pack_u16_words_to_u32(
-                words16, jnp.minimum(word_counts, 2 * w32)
+            words32, bit_counts, t = _shard_encode_one(
+                block, k_local, s, w32, use_pallas
             )
-
             if use_pallas:
                 out3 = decode_bitserial_pallas(
                     words32.reshape(w32, k_local // 128, 128),
@@ -150,7 +261,7 @@ def sharded_roundtrip(data, *, mesh, k, s, w32, group=1):
                     group=group,
                     out_len=s,
                 )
-            return out.T.reshape(-1), bit_counts, words32
+            return out.reshape(-1), bit_counts, words32
 
         return jax.vmap(one)(blocks)
 
@@ -192,11 +303,198 @@ class ShardedCodec:
         nb = -(-nb // d_axis) * d_axis  # whole blocks per data shard
         padded = np.zeros(nb * bb, np.uint8)
         padded[:n] = data
-        blocks = jnp.asarray(padded.reshape(nb, bb))
+        # Host permutation makes the shard-local strided framing equal the
+        # GLOBAL tpu-profile lane map, so bits/words are identical for any
+        # mesh shape (and to the single-chip codec's).
+        blocks = jnp.asarray(self._permute_in(padded.reshape(nb, bb)))
         sharding = NamedSharding(self.mesh, P("data", "stream"))
         blocks = jax.device_put(blocks, sharding)
         w32 = (self.s * MAX_CODE_LEN + 31) // 32 + 1
         out, bits, words = sharded_roundtrip(
             blocks, mesh=self.mesh, k=self.k, s=self.s, w32=w32
         )
-        return np.asarray(out).reshape(-1)[:n], bits, words
+        out = self._permute_out(np.asarray(out))
+        return out.reshape(-1)[:n], bits, words
+
+    # ---------- bytes API (standard HTP3 container, mesh-accelerated) ----------
+
+    def _n_stream(self) -> int:
+        return self.mesh.shape["stream"]
+
+    def _permute_in(self, blocks: np.ndarray) -> np.ndarray:
+        """(B, N) -> shard layout whose local strided framing equals the
+        GLOBAL tpu-profile strided lane map: shard c's local (s, k_local)
+        cell (r, j) holds global byte r*k + c*k_local + j.  Blobs built
+        from the sharded encode are therefore byte-identical standard
+        HTP3 blocks, decodable by a single-chip TpuCodec (and vice
+        versa)."""
+        b, n = blocks.shape
+        ns, kl = self._n_stream(), self.k // self._n_stream()
+        return (
+            blocks.reshape(b, self.s, ns, kl)
+            .transpose(0, 2, 1, 3)
+            .reshape(b, n)
+        )
+
+    def _permute_out(self, blocks: np.ndarray) -> np.ndarray:
+        b, n = blocks.shape
+        ns, kl = self._n_stream(), self.k // self._n_stream()
+        return (
+            blocks.reshape(b, ns, self.s, kl)
+            .transpose(0, 2, 1, 3)
+            .reshape(b, n)
+        )
+
+    def compress(self, raw: bytes) -> bytes:
+        """Compress to the standard block container via ONE mesh program.
+
+        Every record is a normal tpu-profile (HTP3) blob — the output is
+        bit-compatible with `TpuCodec.decompress`; the mesh only changes
+        WHERE the work runs."""
+        from .. import container
+        from ..models.tpu_codec import TpuCodec, TpuCompressed
+
+        n = len(raw)
+        bb = self.block_bytes
+        if n == 0:
+            return container.pack([(container.KIND_HUFF, 0, b"")], bb)
+        nb = -(-n // bb)
+        d_axis = self.mesh.shape["data"]
+        nb_pad = -(-nb // d_axis) * d_axis
+        padded = np.zeros(nb_pad * bb, np.uint8)
+        padded[:n] = np.frombuffer(raw, np.uint8)
+        blocks = self._permute_in(padded.reshape(nb_pad, bb))
+        sharding = NamedSharding(self.mesh, P("data", "stream"))
+        w32 = (self.s * MAX_CODE_LEN + 31) // 32 + 1
+        words, bits, lc, ss, ns_arr = sharded_encode(
+            jax.device_put(jnp.asarray(blocks), sharding),
+            mesh=self.mesh,
+            k=self.k,
+            s=self.s,
+            w32=w32,
+        )
+        words = np.asarray(words)
+        bits = np.asarray(bits)
+        lc, ss, ns_arr = np.asarray(lc), np.asarray(ss), np.asarray(ns_arr)
+
+        tc = TpuCodec(self.k)
+        records = []
+        for b in range(nb):
+            raw_len = min(bb, n - b * bb)
+            comp = TpuCompressed(
+                words=words[b],
+                bit_counts=bits[b],
+                raw_size=bb,
+                k=self.k,
+                tables={
+                    "len_count": lc[b],
+                    "sorted_syms": ss[b],
+                    "num_syms": ns_arr[b],
+                },
+            )
+            blob = tc.serialize(comp)
+            if len(blob) >= raw_len + 8:
+                records.append(
+                    (container.KIND_STORED, raw_len, raw[b * bb : b * bb + raw_len])
+                )
+            else:
+                records.append((container.KIND_HUFF, raw_len, blob))
+        return container.pack(records, bb)
+
+    def decompress(self, blob: bytes) -> bytes:
+        """Decode a block container with ONE sharded program for all the
+        uniform huffman records (stored / degenerate records are handled
+        host-side); falls back to per-block decode for foreign
+        containers with heterogeneous shapes."""
+        import struct
+
+        from .. import container
+        from ..models.tpu_codec import TpuCodec
+
+        buf = memoryview(blob)
+        if len(buf) < 16 or bytes(buf[:4]) != container.MAGIC:
+            raise ValueError("not a huffman_tpu container (bad magic)")
+        _bs, total_raw = struct.unpack_from("<IQ", buf, 4)
+        pos = 16
+        records = []
+        while pos < len(buf):
+            if pos + 12 > len(buf):
+                raise ValueError("truncated container (record header)")
+            rec_len, raw_len, kind = struct.unpack_from("<IIB", buf, pos)
+            pos += 12
+            if pos + rec_len > len(buf):
+                raise ValueError("truncated container (record payload)")
+            records.append((kind, raw_len, bytes(buf[pos : pos + rec_len])))
+            pos += rec_len
+
+        tc = TpuCodec(self.k)
+        outs: list[bytes | None] = [None] * len(records)
+        batch = []  # (idx, TpuCompressed)
+        for i, (kind, raw_len, rec) in enumerate(records):
+            if kind == container.KIND_STORED:
+                if len(rec) != raw_len:
+                    raise ValueError("stored record length mismatch")
+                outs[i] = rec
+            elif kind == container.KIND_HUFF:
+                if raw_len == 0:
+                    outs[i] = b""
+                    continue
+                comp = tc.deserialize(rec)
+                m = comp.meta()
+                if (
+                    comp.k != self.k
+                    or comp.raw_size != self.block_bytes
+                    or m["num_syms"] <= 1
+                ):
+                    # Degenerate or foreign-shaped block: single-block path.
+                    outs[i] = np.asarray(tc.decode_device(comp)).tobytes()[:raw_len]
+                else:
+                    batch.append((i, comp))
+            else:
+                raise ValueError(f"unknown record kind {kind:#x}")
+
+        if batch:
+            d_axis = self.mesh.shape["data"]
+            nbatch = len(batch)
+            nb_pad = -(-nbatch // d_axis) * d_axis
+            w = max(
+                (c.meta()["max_bits"] + 31) // 32 for _, c in batch
+            )
+            w = max(w, 1)
+            group = min(
+                max(g for g in (1, 2, 3, 4, 6, 8) if g <= max(1, c.meta()["l_min"]))
+                for _, c in batch
+            )
+            wordsb = np.zeros((nb_pad, w, self.k), np.uint32)
+            ebb = np.zeros((nb_pad, 14), np.int32)
+            grb = np.zeros((nb_pad, 13), np.int32)
+            syb = np.zeros((nb_pad, 256), np.int32)
+            for j, (_, c) in enumerate(batch):
+                wv = np.asarray(c.words)[:w]
+                wordsb[j, : wv.shape[0]] = wv
+                ebb[j] = np.asarray(c.tables["e_bound"])
+                grb[j] = np.asarray(c.tables["g_rank"])
+                syb[j] = np.asarray(c.tables["sorted_syms"])
+            sh_w = NamedSharding(self.mesh, P("data", None, "stream"))
+            sh_t = NamedSharding(self.mesh, P("data", None))
+            dec = sharded_decode(
+                jax.device_put(jnp.asarray(wordsb), sh_w),
+                jax.device_put(jnp.asarray(ebb), sh_t),
+                jax.device_put(jnp.asarray(grb), sh_t),
+                jax.device_put(jnp.asarray(syb), sh_t),
+                mesh=self.mesh,
+                k=self.k,
+                s=self.s,
+                w=w,
+                group=group,
+            )
+            dec = self._permute_out(np.asarray(dec)[:nbatch])
+            for j, (i, _) in enumerate(batch):
+                outs[i] = dec[j].tobytes()[: records[i][1]]
+
+        out = b"".join(o for o in outs if o is not None)
+        if len(out) != total_raw:
+            raise ValueError(
+                f"container truncated: decoded {len(out)} of {total_raw} bytes"
+            )
+        return out

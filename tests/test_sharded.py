@@ -50,3 +50,38 @@ def test_sharded_matches_single_device():
     nb = np.asarray(bits1).shape[0]
     np.testing.assert_array_equal(np.asarray(bits1), np.asarray(bits8)[:nb])
     np.testing.assert_array_equal(np.asarray(words1), np.asarray(words8)[:nb])
+
+
+@pytest.mark.parametrize("stream", [1, 2])
+def test_sharded_bytes_api_interop(stream):
+    """ShardedCodec.compress emits a standard HTP3 container that the
+    single-chip TpuCodec decodes byte-identically, and vice versa — the
+    mesh changes WHERE the work runs, not the wire format."""
+    from huffman_tpu.models.tpu_codec import TpuCodec
+
+    mesh = make_mesh(stream=stream)
+    sc = ShardedCodec(mesh=mesh, block_bytes=4096, k=64)
+    raw = _data(3 * 4096 + 777, seed=9).tobytes()
+    blob = sc.compress(raw)
+    assert sc.decompress(blob) == raw
+    # Cross-decode: single-chip codec reads the sharded container.
+    tc = TpuCodec()
+    assert tc.decompress(blob) == raw
+    # And the sharded codec reads a single-chip container of its shape.
+    tc2 = TpuCodec(64)
+    tc2.block_bytes = 4096
+    from huffman_tpu import container as ctn
+
+    blob2 = ctn.compress_blocks(raw, tc2, 4096)
+    assert sc.decompress(blob2) == raw
+
+
+def test_sharded_bytes_api_stored_and_empty():
+    mesh = make_mesh(stream=2)
+    sc = ShardedCodec(mesh=mesh, block_bytes=4096, k=64)
+    assert sc.decompress(sc.compress(b"")) == b""
+    incompressible = _data(2 * 4096, seed=11, style="uniform").tobytes()
+    blob = sc.compress(incompressible)
+    assert sc.decompress(blob) == incompressible
+    single = b"z" * (4096 * 2 + 5)
+    assert sc.decompress(sc.compress(single)) == single
