@@ -31,6 +31,28 @@ from .golden import GoldenCodec, compress, decompress
 from . import container, native
 from .utils import debug
 
+
+def __getattr__(name):
+    # Device-codec classes import jax kernels; load them lazily so the
+    # pure-host surfaces (golden/native/format) stay import-light.
+    if name == "TpuCodec":
+        from .models.tpu_codec import TpuCodec
+
+        return TpuCodec
+    if name == "JaxCodec":
+        from .models.jax_codec import JaxCodec
+
+        return JaxCodec
+    if name == "NativeCodec":
+        from .native import NativeCodec
+
+        return NativeCodec
+    if name == "ShardedCodec":
+        from .parallel import ShardedCodec
+
+        return ShardedCodec
+    raise AttributeError(f"module 'huffman_tpu' has no attribute {name!r}")
+
 __all__ = [
     "MAX_CODE_LEN",
     "NUM_SYMBOLS",
@@ -47,6 +69,10 @@ __all__ = [
     "GoldenCodec",
     "compress",
     "decompress",
+    "TpuCodec",
+    "JaxCodec",
+    "NativeCodec",
+    "ShardedCodec",
 ]
 
 __version__ = "0.1.0"
