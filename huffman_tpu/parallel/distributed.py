@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .sharded import make_mesh
-
 
 #: Tracks whether THIS module resolved initialization for the process —
 #: either by successfully initializing jax.distributed or by determining
@@ -74,4 +72,6 @@ def pod_mesh(stream: int | None = None, stream_per_host: bool = False):
     devices = np.asarray(jax.devices())
     # Order devices host-major so stream groups are intra-host.
     devices = devices[np.argsort([d.process_index * 1000 + d.id for d in devices])]
+    from .sharded import make_mesh  # deferred: initializes the backend
+
     return make_mesh(devices=devices, stream=stream)
