@@ -45,6 +45,23 @@ def _codec(profile: str, k: int | None):
 
 
 def compress_file(inp: str, out: str, profile: str, k: int | None, block: int) -> dict:
+    if profile == "native":
+        # Threaded native pipeline: block-parallel workers, container of
+        # ref-profile records with per-block stored fallback.
+        from . import native
+        import os
+
+        t0 = time.perf_counter()
+        try:
+            n_out = native.compress_file(inp, out, k=k or 32, block=block)
+            return {
+                "in": os.path.getsize(inp),
+                "out": n_out,
+                "seconds": time.perf_counter() - t0,
+            }
+        except RuntimeError:
+            pass  # no toolchain: fall through to the bytes-codec path
+
     codec = _codec(profile, k)
     t0 = time.perf_counter()
     n_in = n_out = 0
@@ -67,6 +84,24 @@ def compress_file(inp: str, out: str, profile: str, k: int | None, block: int) -
 
 
 def decompress_file(inp: str, out: str, profile: str, k: int | None) -> dict:
+    if profile == "native":
+        from . import native
+        import os
+
+        with open(inp, "rb") as f:
+            magic = f.read(4)
+        if magic == b"HTPC":  # pipeline container; else a bare ref blob
+            t0 = time.perf_counter()
+            try:
+                n_out = native.decompress_file(inp, out)
+                return {
+                    "in": os.path.getsize(inp),
+                    "out": n_out,
+                    "seconds": time.perf_counter() - t0,
+                }
+            except RuntimeError:
+                pass  # no toolchain: fall through
+
     codec = _codec(profile, k)
     t0 = time.perf_counter()
     n_in = n_out = 0

@@ -29,8 +29,10 @@ from __future__ import annotations
 import struct
 
 MAGIC = b"HTPC"
-KIND_HUFF = 0x48  # 'H'
-KIND_STORED = 0x53  # 'S'
+KIND_HUFF = 0x48  # 'H'  tpu-profile blob
+KIND_STORED = 0x53  # 'S'  raw bytes
+KIND_REF = 0x52  # 'R'  ref-profile blob; stream count k in the pad u16
+#                        (written by the native pipeline, native/pipeline.cpp)
 
 DEFAULT_BLOCK = 16 << 20
 
@@ -81,7 +83,7 @@ def decompress_blocks(data: bytes, codec) -> bytes:
     while pos < len(buf):
         if pos + 12 > len(buf):
             raise ValueError("truncated container (record header)")
-        rec_len, raw_len, kind = struct.unpack_from("<IIB", buf, pos)
+        rec_len, raw_len, kind, kx = struct.unpack_from("<IIBHx", buf, pos)
         pos += 12
         if pos + rec_len > len(buf):
             raise ValueError("truncated container (record payload)")
@@ -95,6 +97,14 @@ def decompress_blocks(data: bytes, codec) -> bytes:
             if raw_len == 0:
                 continue
             out += codec.decompress(rec)[:raw_len]
+        elif kind == KIND_REF:
+            if raw_len == 0:
+                continue
+            if not (1 <= kx <= 0xFFFF):
+                raise ValueError("ref record missing stream count")
+            from . import native
+
+            out += native.decompress(rec, kx)[:raw_len]
         else:
             raise ValueError(f"unknown record kind {kind:#x}")
     if len(out) != total_raw:

@@ -19,6 +19,7 @@ import numpy as np
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_REPO, "native", "huffman_host.cpp")
+_SRC2 = os.path.join(_REPO, "native", "pipeline.cpp")
 _SO = os.path.join(_REPO, "build", "libhuffman_host.so")
 
 _lock = threading.Lock()
@@ -36,9 +37,11 @@ def _build() -> bool:
         "-std=c++20",
         "-shared",
         "-fPIC",
+        "-pthread",
         "-o",
         _SO,
         _SRC,
+        _SRC2,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -54,9 +57,11 @@ def load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not os.path.exists(_SRC):
-                return None
+        srcs = [s for s in (_SRC, _SRC2) if os.path.exists(s)]
+        if not srcs:
+            return None
+        newest = max(os.path.getmtime(s) for s in srcs)
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest:
             if not _build():
                 return None
         try:
@@ -88,6 +93,20 @@ def load():
             ctypes.c_char_p,
             ctypes.c_size_t,
             ctypes.c_void_p,
+        ]
+        lib.hp_compress_file.restype = ctypes.c_long
+        lib.hp_compress_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.hp_decompress_file.restype = ctypes.c_long
+        lib.hp_decompress_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_int,
         ]
         _lib = lib
         return _lib
@@ -164,3 +183,41 @@ class NativeCodec:
 
     def decompress(self, blob: bytes) -> bytes:
         return decompress(blob, self.k)
+
+
+def compress_file(
+    in_path: str,
+    out_path: str,
+    k: int = 32,
+    block: int = 1 << 20,
+    threads: int = 0,
+) -> int:
+    """Compress a file through the threaded native pipeline (HTPC container
+    of ref-profile records; stored fallback per block).  Returns bytes
+    written.  threads=0 means one per CPU."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable (no C++ toolchain)")
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    r = lib.hp_compress_file(
+        in_path.encode(), out_path.encode(), block, k, threads
+    )
+    if r < 0:
+        raise RuntimeError(f"native pipeline compress failed for {in_path!r}")
+    return int(r)
+
+
+def decompress_file(in_path: str, out_path: str, threads: int = 0) -> int:
+    """Inverse of `compress_file`.  Returns bytes written; raises
+    ValueError for containers holding record kinds the native runtime
+    cannot decode (tpu-profile records need the device decoder)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable (no C++ toolchain)")
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    r = lib.hp_decompress_file(in_path.encode(), out_path.encode(), threads)
+    if r < 0:
+        raise ValueError(f"native pipeline could not decode {in_path!r}")
+    return int(r)

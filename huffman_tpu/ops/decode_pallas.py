@@ -34,6 +34,9 @@ _I32 = jnp.int32
 _BLK = 8  # sublane-groups (x128 lanes) per grid step
 
 
+from .pallas_util import sds_like as _sds
+
+
 def _compaction_pad(d_max: int) -> int:
     """Scratch pad rows for the binary compaction rounds: the first
     (largest-shift) round reads up to row out_len + 2*sh_max - 2 =
@@ -409,7 +412,7 @@ def decode_bitserial_pallas(
         out_specs=pl.BlockSpec(
             (out_len, blk, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((out_len, KR, 128), _I32),
+        out_shape=_sds((out_len, KR, 128), _I32, words3),
         scratch_shapes=[
             pltpu.VMEM((t_rows + pad, blk, 128), _I32),
             pltpu.VMEM((t_rows + pad, blk, 128), _I32),

@@ -26,6 +26,9 @@ _I32 = jnp.int32
 _BLK = 8  # sublane-groups (x128 lanes) per grid step
 
 
+from .pallas_util import sds_like as _sds
+
+
 def _shift_down(x, rows):
     """x[i] <- x[i+rows] along axis 0, zero-filled tail (rows >= 0)."""
     t = x.shape[0]
@@ -150,8 +153,8 @@ def encode_lanes_pallas(byte3, enc_table):
             pl.BlockSpec((_BLK, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t_rows, KR, 128), _I32),
-            jax.ShapeDtypeStruct((KR, 128), _I32),
+            _sds((t_rows, KR, 128), _I32, byte3),
+            _sds((KR, 128), _I32, byte3),
         ),
     )(byte3, tab2)
     return words, bits

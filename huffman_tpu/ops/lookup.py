@@ -104,6 +104,8 @@ def _histogram256_pallas(x_u8):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from .pallas_util import sds_like
+
     n = x_u8.shape[0]
     pad = (-n) % _HIST_CHUNK
     if pad:
@@ -121,7 +123,7 @@ def _histogram256_pallas(x_u8):
             )
         ],
         out_specs=pl.BlockSpec((16, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((16, 16), jnp.float32),
+        out_shape=sds_like((16, 16), jnp.float32, x2),
     )(x2)
     hist = out.reshape(256).astype(jnp.int32)
     if pad:

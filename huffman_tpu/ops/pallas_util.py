@@ -1,0 +1,21 @@
+"""Shared Pallas helpers."""
+
+from __future__ import annotations
+
+import jax
+
+
+def sds_like(shape, dtype, like):
+    """ShapeDtypeStruct whose varying-manual-axes match ``like``.
+
+    Under shard_map with check_vma=True, pallas_call outputs must declare
+    how they vary over the mesh axes (same as their block-sharded
+    inputs); outside shard_map the vma set is empty and omitted.
+    """
+    try:
+        vma = jax.typeof(like).vma
+    except AttributeError:
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)

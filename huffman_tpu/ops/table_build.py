@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import MAX_CODE_LEN, NUM_SYMBOLS
+from .pallas_util import sds_like
 
 _I32 = jnp.int32
 _N = NUM_SYMBOLS
@@ -277,7 +278,7 @@ def _huffman_len_count_pallas(counts_desc, num_syms):
             pl.BlockSpec((1, 1), lambda: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 64), lambda: (0, 0), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 64), _I32),
+        out_shape=sds_like((1, 64), _I32, counts_desc),
         scratch_shapes=[
             pltpu.SMEM((1, _N), _I32),
             pltpu.SMEM((1, 64), _I32),

@@ -1,0 +1,228 @@
+// Threaded block-pipeline file runtime for the ref-profile host codec.
+//
+// The reference is strictly single-threaded (SURVEY §2: "no threads
+// even"); its unit of parallelism is K in-core streams.  This runtime
+// adds the process-level axis the framework's TPU side gets from the
+// 'data' mesh axis: independent blocks compressed/decompressed by a
+// worker pool, sequenced into the same HTPC container the Python side
+// reads (container.py layout).  Record kind 'R' = a ref-profile blob
+// (huffman_host.cpp wire format, bit-identical to golden.py); its
+// stream count k rides in the two header pad bytes.
+//
+// Compiled into libhuffman_host.so next to huffman_host.cpp.
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <string>
+#include <thread>
+#include <vector>
+
+// From huffman_host.cpp (same shared object).
+extern "C" {
+size_t hh_compress_bound(size_t n, int k);
+size_t hh_compress(const uint8_t* data, size_t n, int k, uint8_t* out,
+                   size_t out_cap);
+size_t hh_decompress(const uint8_t* blob, size_t blob_len, int k, uint8_t* out,
+                     size_t out_cap);
+}
+
+namespace {
+
+constexpr uint8_t kMagic[4] = {'H', 'T', 'P', 'C'};
+constexpr uint8_t kKindStored = 0x53;  // 'S'
+constexpr uint8_t kKindRef = 0x52;     // 'R'
+
+void PutU32(std::string& s, uint32_t v) {
+  char b[4] = {(char)(v & 0xFF), (char)((v >> 8) & 0xFF), (char)((v >> 16) & 0xFF),
+               (char)((v >> 24) & 0xFF)};
+  s.append(b, 4);
+}
+void PutU64(std::string& s, uint64_t v) {
+  PutU32(s, (uint32_t)(v & 0xFFFFFFFFu));
+  PutU32(s, (uint32_t)(v >> 32));
+}
+uint32_t GetU32(const uint8_t* p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+uint64_t GetU64(const uint8_t* p) {
+  return (uint64_t)GetU32(p) | ((uint64_t)GetU32(p + 4) << 32);
+}
+
+// Run fn(i) for i in [0, n) on up to `threads` workers.
+void ParallelFor(long n, int threads, const std::function<void(long)>& fn) {
+  if (threads < 1) threads = 1;
+  if (n <= 1 || threads == 1) {
+    for (long i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::atomic<long> next{0};
+  auto worker = [&] {
+    for (;;) {
+      long i = next.fetch_add(1);
+      if (i >= n) return;
+      fn(i);
+    }
+  };
+  int nt = (int)std::min<long>(threads, n);
+  std::vector<std::thread> pool;
+  pool.reserve(nt - 1);
+  for (int t = 0; t < nt - 1; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+}
+
+bool ReadAll(const char* path, std::vector<uint8_t>& out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (sz < 0) {
+    std::fclose(f);
+    return false;
+  }
+  out.resize((size_t)sz);
+  size_t rd = sz ? std::fread(out.data(), 1, (size_t)sz, f) : 0;
+  std::fclose(f);
+  return rd == (size_t)sz;
+}
+
+bool WriteAll(const char* path, const void* data, size_t n) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return false;
+  size_t wr = n ? std::fwrite(data, 1, n, f) : 0;
+  std::fclose(f);
+  return wr == n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Compress `in_path` into an HTPC container of ref-profile records at
+// `out_path`.  Returns bytes written, or -1 on error.
+long hp_compress_file(const char* in_path, const char* out_path, long block,
+                      int k, int threads) {
+  if (block <= 0 || k < 1) return -1;
+  std::vector<uint8_t> raw;
+  if (!ReadAll(in_path, raw)) return -1;
+  const long n = (long)raw.size();
+  const long nb = n ? (n + block - 1) / block : 1;
+
+  struct Rec {
+    uint8_t kind;
+    uint32_t raw_len;
+    std::string payload;
+  };
+  std::vector<Rec> recs(nb);
+
+  ParallelFor(nb, threads, [&](long i) {
+    long off = i * block;
+    long m = std::min(block, n - off);
+    Rec& r = recs[i];
+    r.raw_len = (uint32_t)std::max<long>(m, 0);
+    if (m <= 0) {
+      r.kind = kKindRef;
+      return;
+    }
+    size_t bound = hh_compress_bound((size_t)m, k);
+    std::string buf;
+    buf.resize(bound);
+    size_t sz =
+        hh_compress(raw.data() + off, (size_t)m, k, (uint8_t*)buf.data(), bound);
+    if (sz != 0 && sz < (size_t)m + 8) {
+      buf.resize(sz);
+      r.kind = kKindRef;
+      r.payload = std::move(buf);
+    } else {
+      // Incompressible (or error): stored record — the fallback the
+      // reference's in-repo codecs lack (only its Huff0 wrapper has one,
+      // huff0.cpp:23-31).
+      r.kind = kKindStored;
+      r.payload.assign((const char*)raw.data() + off, (size_t)m);
+    }
+  });
+
+  std::string out;
+  out.append((const char*)kMagic, 4);
+  PutU32(out, (uint32_t)block);
+  PutU64(out, (uint64_t)n);
+  for (auto& r : recs) {
+    PutU32(out, (uint32_t)r.payload.size());
+    PutU32(out, r.raw_len);
+    out.push_back((char)r.kind);
+    // Pad bytes carry k (u16 LE) for 'R' records; zero otherwise.
+    uint16_t kx = r.kind == kKindRef ? (uint16_t)k : 0;
+    out.push_back((char)(kx & 0xFF));
+    out.push_back((char)(kx >> 8));
+    out.push_back(0);
+    out += r.payload;
+  }
+  if (!WriteAll(out_path, out.data(), out.size())) return -1;
+  return (long)out.size();
+}
+
+// Decompress an HTPC container of 'R'/'S' records.  Returns bytes
+// written, or -1 on error (including containers holding record kinds
+// this runtime cannot decode, e.g. tpu-profile 'H' blobs).
+long hp_decompress_file(const char* in_path, const char* out_path,
+                        int threads) {
+  std::vector<uint8_t> blob;
+  if (!ReadAll(in_path, blob)) return -1;
+  if (blob.size() < 16 || std::memcmp(blob.data(), kMagic, 4) != 0) return -1;
+  uint64_t total = GetU64(blob.data() + 8);
+
+  struct Rec {
+    uint8_t kind;
+    uint16_t k;
+    uint32_t raw_len;
+    const uint8_t* p;
+    uint32_t len;
+    uint64_t out_off;
+  };
+  std::vector<Rec> recs;
+  size_t pos = 16;
+  uint64_t out_off = 0;
+  while (pos < blob.size()) {
+    if (pos + 12 > blob.size()) return -1;
+    uint32_t rec_len = GetU32(blob.data() + pos);
+    uint32_t raw_len = GetU32(blob.data() + pos + 4);
+    uint8_t kind = blob[pos + 8];
+    uint16_t kx = (uint16_t)blob[pos + 9] | ((uint16_t)blob[pos + 10] << 8);
+    pos += 12;
+    if (pos + rec_len > blob.size()) return -1;
+    recs.push_back({kind, kx, raw_len, blob.data() + pos, rec_len, out_off});
+    out_off += raw_len;
+    pos += rec_len;
+  }
+  if (out_off != total) return -1;
+
+  std::vector<uint8_t> out(total);
+  std::atomic<bool> fail{false};
+  ParallelFor((long)recs.size(), threads, [&](long i) {
+    const Rec& r = recs[i];
+    if (r.raw_len == 0) return;
+    if (r.kind == kKindStored) {
+      if (r.len != r.raw_len) {
+        fail = true;
+        return;
+      }
+      std::memcpy(out.data() + r.out_off, r.p, r.raw_len);
+    } else if (r.kind == kKindRef) {
+      size_t got =
+          hh_decompress(r.p, r.len, r.k ? r.k : 1, out.data() + r.out_off, r.raw_len);
+      if (got == (size_t)-1) fail = true;
+    } else {
+      fail = true;  // 'H' (tpu-profile) records need the Python decoder
+    }
+  });
+  if (fail) return -1;
+  if (!WriteAll(out_path, out.data(), out.size())) return -1;
+  return (long)out.size();
+}
+
+}  // extern "C"

@@ -50,3 +50,46 @@ def test_corrupt_blob_raises():
     blob = native.compress(raw, 4)
     with pytest.raises(ValueError):
         native.decompress(blob[:10], 4)
+
+
+def test_pipeline_file_roundtrip(tmp_path):
+    """Threaded native file pipeline: round-trip + Python interop (the
+    'R' records decode through container.decompress_blocks too)."""
+    from huffman_tpu import container, native
+
+    rng = np.random.default_rng(5)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    raw = rng.choice(256, size=700_000, p=p).astype(np.uint8).tobytes()
+    raw += bytes(rng.integers(0, 256, size=300_000, dtype=np.uint8))  # stored tail
+    inp = tmp_path / "in.bin"
+    comp = tmp_path / "out.htz"
+    back = tmp_path / "back.bin"
+    inp.write_bytes(raw)
+
+    n = native.compress_file(str(inp), str(comp), k=32, block=1 << 18)
+    assert n == comp.stat().st_size
+    m = native.decompress_file(str(comp), str(back))
+    assert m == len(raw)
+    assert back.read_bytes() == raw
+
+    # Python container reader decodes the same file (no codec needed for
+    # 'R'/'S' records; pass None to prove it).
+    assert container.decompress_blocks(comp.read_bytes(), None) == raw
+
+
+def test_pipeline_file_empty_and_errors(tmp_path):
+    from huffman_tpu import native
+    import pytest as _pytest
+
+    inp = tmp_path / "e.bin"
+    inp.write_bytes(b"")
+    comp = tmp_path / "e.htz"
+    back = tmp_path / "e.out"
+    native.compress_file(str(inp), str(comp), k=4, block=1 << 16)
+    native.decompress_file(str(comp), str(back))
+    assert back.read_bytes() == b""
+    bad = tmp_path / "bad.htz"
+    bad.write_bytes(b"NOPE" + b"\0" * 32)
+    with _pytest.raises(ValueError):
+        native.decompress_file(str(bad), str(back))
