@@ -121,22 +121,14 @@ def run(prewarm: bool = False) -> None:
     m = comp.meta()
     ratio = n / (int(np.asarray(comp.bit_counts).sum()) / 8)
 
-    from huffman_tpu.ops.decode_pallas import DENSE_SPEC, chain_spec
+    from huffman_tpu.models.tpu_codec import decode_statics
 
     k = comp.k
     s = -(-n // k)
     w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
-    group = max(1, min(m["l_min"], 32))
-    w = (m["max_bits"] + 31) // 32
-    # Same decode specializations the codec API applies (decode_device):
-    # present-length compare collapsing + identity rank->symbol map.
-    spec = chain_spec(m["len_count"])
-    if len(spec) > len(DENSE_SPEC) - 2:
-        spec = DENSE_SPEC
-    ns = m["num_syms"]
-    syms_identity = bool(
-        np.array_equal(m["sorted_syms"][:ns], np.arange(ns))
-    )
+    # The ONE shared derivation of the decode-dispatch statics, so the
+    # benchmark times exactly the program decode_device dispatches.
+    group, w, spec, syms_identity = decode_statics(m, s)
     use_pallas = jax.default_backend() != "cpu" and k % 1024 == 0 and 2 <= s <= 256
 
     def enc_once(pert):

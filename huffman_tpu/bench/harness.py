@@ -94,9 +94,12 @@ def bench_tpu_codec(codec, raw: bytes, reps: int = 32) -> dict:
     import jax.numpy as jnp
 
     from ..constants import MAX_CODE_LEN
-    from ..models.tpu_codec import _decode_full, _encode_full, _pallas_ok
-
-    from ..ops.decode_pallas import DENSE_SPEC, chain_spec
+    from ..models.tpu_codec import (
+        _decode_full,
+        _encode_full,
+        _pallas_ok,
+        decode_statics,
+    )
 
     n = len(raw)
     data = jnp.asarray(np.frombuffer(raw, dtype=np.uint8))
@@ -108,16 +111,7 @@ def bench_tpu_codec(codec, raw: bytes, reps: int = 32) -> dict:
     k = comp.k
     s = -(-n // k)
     w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
-    group = max(1, min(m["l_min"], 32))
-    w = (m["max_bits"] + 31) // 32
-    # Mirror decode_device's static specializations.
-    spec = chain_spec(m["len_count"])
-    if len(spec) > len(DENSE_SPEC) - 2:
-        spec = DENSE_SPEC
-    ns = m["num_syms"]
-    syms_identity = bool(
-        np.array_equal(m["sorted_syms"][:ns], np.arange(ns))
-    )
+    group, w, spec, syms_identity = decode_statics(m, s)
     use_pallas = _pallas_ok(k) and 2 <= s <= 256
 
     def enc_once(pert):

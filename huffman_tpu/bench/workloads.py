@@ -102,7 +102,9 @@ CORPUS_PATH = os.path.join(
 
 
 def file_data(path: str | None, n: int = LEN) -> bytes:
-    if path and os.path.exists(path):
+    if path:
+        # An explicitly requested file must exist — silently substituting
+        # the corpus would mislabel the benchmark row.
         with open(path, "rb") as f:
             return f.read(n)
     if os.path.exists(CORPUS_PATH):

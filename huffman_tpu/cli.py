@@ -94,13 +94,21 @@ def decompress_file(inp: str, out: str, profile: str, k: int | None) -> dict:
             t0 = time.perf_counter()
             try:
                 n_out = native.decompress_file(inp, out)
-                return {
-                    "in": os.path.getsize(inp),
-                    "out": n_out,
-                    "seconds": time.perf_counter() - t0,
-                }
             except RuntimeError:
-                pass  # no toolchain: fall through
+                # No toolchain: the pure-Python container reader decodes
+                # 'R'/'S' records through the golden fallback.
+                from . import container
+
+                with open(inp, "rb") as f:
+                    raw = container.decompress_blocks(f.read(), None)
+                with open(out, "wb") as f:
+                    f.write(raw)
+                n_out = len(raw)
+            return {
+                "in": os.path.getsize(inp),
+                "out": n_out,
+                "seconds": time.perf_counter() - t0,
+            }
 
     codec = _codec(profile, k)
     t0 = time.perf_counter()

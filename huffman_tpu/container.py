@@ -73,13 +73,19 @@ def compress_blocks(raw: bytes, codec, block_size: int = DEFAULT_BLOCK) -> bytes
     return pack(records, block_size)
 
 
-def decompress_blocks(data: bytes, codec) -> bytes:
+def parse_records(data: bytes):
+    """Validated walk of a container: (block_size, total_raw, records)
+    with records = [(kind, kx, raw_len, payload_bytes)].  ``kx`` is the
+    per-record u16 extra field (stream count for KIND_REF records).
+
+    Shared by `decompress_blocks` and the sharded codec so the record
+    format is parsed in exactly one place."""
     buf = memoryview(data)
     if len(buf) < 16 or bytes(buf[:4]) != MAGIC:
         raise ValueError("not a huffman_tpu container (bad magic)")
-    _block_size, total_raw = struct.unpack_from("<IQ", buf, 4)
+    block_size, total_raw = struct.unpack_from("<IQ", buf, 4)
     pos = 16
-    out = bytearray()
+    records = []
     while pos < len(buf):
         if pos + 12 > len(buf):
             raise ValueError("truncated container (record header)")
@@ -87,26 +93,39 @@ def decompress_blocks(data: bytes, codec) -> bytes:
         pos += 12
         if pos + rec_len > len(buf):
             raise ValueError("truncated container (record payload)")
-        rec = bytes(buf[pos : pos + rec_len])
+        records.append((kind, kx, raw_len, bytes(buf[pos : pos + rec_len])))
         pos += rec_len
-        if kind == KIND_STORED:
-            if len(rec) != raw_len:
-                raise ValueError("stored record length mismatch")
-            out += rec
-        elif kind == KIND_HUFF:
-            if raw_len == 0:
-                continue
-            out += codec.decompress(rec)[:raw_len]
-        elif kind == KIND_REF:
-            if raw_len == 0:
-                continue
-            if not (1 <= kx <= 0xFFFF):
-                raise ValueError("ref record missing stream count")
-            from . import native
+    return block_size, total_raw, records
 
-            out += native.decompress(rec, kx)[:raw_len]
-        else:
-            raise ValueError(f"unknown record kind {kind:#x}")
+
+def decode_record(kind: int, kx: int, raw_len: int, rec: bytes, codec) -> bytes:
+    """Decode one container record to its raw bytes."""
+    if kind == KIND_STORED:
+        if len(rec) != raw_len:
+            raise ValueError("stored record length mismatch")
+        return rec
+    if raw_len == 0:
+        return b""
+    if kind == KIND_HUFF:
+        if codec is None:
+            raise ValueError(
+                "container holds tpu-profile records; a device codec is required"
+            )
+        return codec.decompress(rec)[:raw_len]
+    if kind == KIND_REF:
+        if not (1 <= kx <= 0xFFFF):
+            raise ValueError("ref record missing stream count")
+        from . import native
+
+        return native.decompress(rec, kx)[:raw_len]
+    raise ValueError(f"unknown record kind {kind:#x}")
+
+
+def decompress_blocks(data: bytes, codec) -> bytes:
+    _bs, total_raw, records = parse_records(data)
+    out = bytearray()
+    for kind, kx, raw_len, rec in records:
+        out += decode_record(kind, kx, raw_len, rec, codec)
     if len(out) != total_raw:
         raise ValueError(
             f"container truncated: decoded {len(out)} of {total_raw} bytes"

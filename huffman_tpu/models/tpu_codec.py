@@ -222,6 +222,31 @@ def _decode_batch(words, e_bound, g_rank, syms, s: int, group: int, w: int, blk:
     return jax.vmap(one)(words, e_bound, g_rank, syms)
 
 
+def decode_statics(m: dict, s: int) -> tuple:
+    """Static decode-dispatch parameters from block metadata: the ONE
+    derivation the codec API and every benchmark share, so benchmarks
+    always measure exactly the dispatched program.
+
+    Returns (group, w, spec, syms_identity):
+      group — staging-group width, bucketed to {1,2,3,4,6,8} <= l_min;
+      w — scan word count, rounded up to a multiple of 2 (program-cache
+        bucketing) and capped at the worst-case payload;
+      spec — present-length compare-chain runs (dense unless >= 2 terms
+        collapse, so dense alphabets share one compiled program);
+      syms_identity — True when rank -> symbol is the identity map.
+    """
+    l_min = max(1, min(m["l_min"], 32))
+    group = max(g for g in (1, 2, 3, 4, 6, 8) if g <= l_min)
+    w = (m["max_bits"] + 31) // 32
+    w = min(-(-w // 2) * 2, (s * MAX_CODE_LEN + 31) // 32 + 1)
+    spec = chain_spec(m["len_count"])
+    if len(spec) > len(DENSE_SPEC) - 2:
+        spec = DENSE_SPEC
+    ns = m["num_syms"]
+    syms_identity = bool(np.array_equal(m["sorted_syms"][:ns], np.arange(ns)))
+    return group, w, spec, syms_identity
+
+
 @functools.partial(
     jax.jit, static_argnames=("s", "n", "group", "w", "spec", "syms_identity")
 )
@@ -336,30 +361,7 @@ class TpuCodec:
         if m["num_syms"] <= 1:
             sym = int(m["sorted_syms"][0]) if m["num_syms"] else 0
             return jnp.full((n,), sym, jnp.uint8)
-        # Bucket the data-dependent statics (group to a small fixed set, W
-        # to multiples of 4) so similar blocks share one compiled program.
-        # Larger group => fewer staged rows => cheaper compaction; any
-        # group <= l_min is correct (one emit max per group).
-        l_min = max(1, min(m["l_min"], 32))
-        group = max(g for g in (1, 2, 3, 4, 6, 8) if g <= l_min)
-        # Scan cost is linear in W, so round W up only to a multiple of 2
-        # (program-cache bucketing): rounding to 4 wasted up to 3 words
-        # (~15% decode) per block.
-        w = (m["max_bits"] + 31) // 32
-        w = min(-(-w // 2) * 2, (s * MAX_CODE_LEN + 31) // 32 + 1)
-        # Present-length specialization: absent code lengths collapse
-        # compare-chain terms.  Only specialize when >= 2 terms drop, so
-        # dense alphabets share ONE compiled program (spec is a static
-        # compile key).
-        spec = chain_spec(m["len_count"])
-        if len(spec) > len(DENSE_SPEC) - 2:
-            spec = DENSE_SPEC
-        # Monotone-frequency sources canonicalize to an identity
-        # rank->symbol map; the kernel then skips the per-symbol gather.
-        ns = m["num_syms"]
-        syms_identity = bool(
-            np.array_equal(m["sorted_syms"][:ns], np.arange(ns))
-        )
+        group, w, spec, syms_identity = decode_statics(m, s)
         words = comp.words
         if words.shape[0] < w:
             words = jnp.concatenate(

@@ -21,12 +21,12 @@ from __future__ import annotations
 import numpy as np
 
 
-#: Tracks whether THIS module resolved initialization for the process —
-#: either by successfully initializing jax.distributed or by determining
-#: the environment is single-process.  (Inferring from
-#: ``jax.process_count() > 1`` was wrong: it is 1 before AND after a
-#: single-host init, so every call re-entered initialize().)
-_initialized = False
+#: Resolution state for this process: None (nothing decided yet),
+#: "initialized" (jax.distributed is up), or "noop" (auto-detection found
+#: no cluster — a LATER call with explicit kwargs still proceeds).
+#: (Inferring from ``jax.process_count() > 1`` was wrong: it is 1 before
+#: AND after a single-host init, so every call re-entered initialize().)
+_state: str | None = None
 
 
 def initialize(**kwargs) -> None:
@@ -38,10 +38,11 @@ def initialize(**kwargs) -> None:
     * No kwargs: auto-detection runs; "no cluster found" (ValueError:
       coordinator_address should be defined) means a single-process run
       and is a no-op.  Any other error propagates.
-    * A second call (here or elsewhere) is a no-op.
+    * Once initialized, further calls are no-ops.  A no-kwargs no-op does
+      NOT latch against a later explicit-kwargs call.
     """
-    global _initialized
-    if _initialized:
+    global _state
+    if _state == "initialized" or (_state == "noop" and not kwargs):
         return
     import jax
 
@@ -54,7 +55,9 @@ def initialize(**kwargs) -> None:
         if kwargs:
             raise  # explicit config that fails must surface
         # Auto-detection found no cluster: single-process environment.
-    _initialized = True
+        _state = "noop"
+        return
+    _state = "initialized"
 
 
 def pod_mesh(stream: int | None = None, stream_per_host: bool = False):

@@ -403,55 +403,32 @@ class ShardedCodec:
 
     def decompress(self, blob: bytes) -> bytes:
         """Decode a block container with ONE sharded program for all the
-        uniform huffman records (stored / degenerate records are handled
-        host-side); falls back to per-block decode for foreign
-        containers with heterogeneous shapes."""
-        import struct
-
+        uniform tpu-profile records; stored/ref-profile/degenerate/
+        foreign-shaped records are decoded host-side per record (the
+        shared `container.decode_record` path)."""
         from .. import container
         from ..models.tpu_codec import TpuCodec
 
-        buf = memoryview(blob)
-        if len(buf) < 16 or bytes(buf[:4]) != container.MAGIC:
-            raise ValueError("not a huffman_tpu container (bad magic)")
-        _bs, total_raw = struct.unpack_from("<IQ", buf, 4)
-        pos = 16
-        records = []
-        while pos < len(buf):
-            if pos + 12 > len(buf):
-                raise ValueError("truncated container (record header)")
-            rec_len, raw_len, kind = struct.unpack_from("<IIB", buf, pos)
-            pos += 12
-            if pos + rec_len > len(buf):
-                raise ValueError("truncated container (record payload)")
-            records.append((kind, raw_len, bytes(buf[pos : pos + rec_len])))
-            pos += rec_len
+        _bs, total_raw, records = container.parse_records(blob)
 
         tc = TpuCodec(self.k)
         outs: list[bytes | None] = [None] * len(records)
         batch = []  # (idx, TpuCompressed)
-        for i, (kind, raw_len, rec) in enumerate(records):
-            if kind == container.KIND_STORED:
-                if len(rec) != raw_len:
-                    raise ValueError("stored record length mismatch")
-                outs[i] = rec
-            elif kind == container.KIND_HUFF:
-                if raw_len == 0:
-                    outs[i] = b""
-                    continue
-                comp = tc.deserialize(rec)
-                m = comp.meta()
-                if (
-                    comp.k != self.k
-                    or comp.raw_size != self.block_bytes
-                    or m["num_syms"] <= 1
-                ):
-                    # Degenerate or foreign-shaped block: single-block path.
-                    outs[i] = np.asarray(tc.decode_device(comp)).tobytes()[:raw_len]
-                else:
-                    batch.append((i, comp))
+        for i, (kind, kx, raw_len, rec) in enumerate(records):
+            if kind != container.KIND_HUFF or raw_len == 0:
+                outs[i] = container.decode_record(kind, kx, raw_len, rec, tc)
+                continue
+            comp = tc.deserialize(rec)
+            m = comp.meta()
+            if (
+                comp.k != self.k
+                or comp.raw_size != self.block_bytes
+                or m["num_syms"] <= 1
+            ):
+                # Degenerate or foreign-shaped block: single-block path.
+                outs[i] = np.asarray(tc.decode_device(comp)).tobytes()[:raw_len]
             else:
-                raise ValueError(f"unknown record kind {kind:#x}")
+                batch.append((i, comp))
 
         if batch:
             d_axis = self.mesh.shape["data"]
@@ -490,7 +467,7 @@ class ShardedCodec:
             )
             dec = self._permute_out(np.asarray(dec)[:nbatch])
             for j, (i, _) in enumerate(batch):
-                outs[i] = dec[j].tobytes()[: records[i][1]]
+                outs[i] = dec[j].tobytes()[: records[i][2]]
 
         out = b"".join(o for o in outs if o is not None)
         if len(out) != total_raw:

@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <exception>
 #include <functional>
 #include <string>
 #include <thread>
@@ -174,6 +175,7 @@ long hp_decompress_file(const char* in_path, const char* out_path,
   std::vector<uint8_t> blob;
   if (!ReadAll(in_path, blob)) return -1;
   if (blob.size() < 16 || std::memcmp(blob.data(), kMagic, 4) != 0) return -1;
+  uint64_t block_size = GetU32(blob.data() + 4);
   uint64_t total = GetU64(blob.data() + 8);
 
   struct Rec {
@@ -195,13 +197,24 @@ long hp_decompress_file(const char* in_path, const char* out_path,
     uint16_t kx = (uint16_t)blob[pos + 9] | ((uint16_t)blob[pos + 10] << 8);
     pos += 12;
     if (pos + rec_len > blob.size()) return -1;
+    // Structural sanity from untrusted fields: no record may claim more
+    // raw bytes than the container's own block size.
+    if (raw_len > block_size) return -1;
     recs.push_back({kind, kx, raw_len, blob.data() + pos, rec_len, out_off});
     out_off += raw_len;
     pos += rec_len;
   }
   if (out_off != total) return -1;
 
-  std::vector<uint8_t> out(total);
+  // A corrupt header can still claim an absurd total (e.g. huge
+  // block_size x many records); allocation failure must come back as an
+  // error code, never a bad_alloc abort through the C ABI.
+  std::vector<uint8_t> out;
+  try {
+    out.resize(total);
+  } catch (const std::exception&) {
+    return -1;
+  }
   std::atomic<bool> fail{false};
   ParallelFor((long)recs.size(), threads, [&](long i) {
     const Rec& r = recs[i];

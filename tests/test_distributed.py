@@ -12,7 +12,7 @@ from huffman_tpu.parallel import distributed
 
 
 def test_initialize_single_process_is_noop_and_idempotent(monkeypatch):
-    monkeypatch.setattr(distributed, "_initialized", False)
+    monkeypatch.setattr(distributed, "_state", None)
     calls = []
 
     def fake_init(**kwargs):
@@ -23,13 +23,13 @@ def test_initialize_single_process_is_noop_and_idempotent(monkeypatch):
 
     monkeypatch.setattr(jax.distributed, "initialize", fake_init)
     distributed.initialize()  # auto-detect finds nothing: fine
-    assert distributed._initialized
-    distributed.initialize()  # second call must not re-enter
+    assert distributed._state == "noop"
+    distributed.initialize()  # second no-kwargs call must not re-enter
     assert len(calls) == 1
 
 
 def test_initialize_explicit_config_failure_propagates(monkeypatch):
-    monkeypatch.setattr(distributed, "_initialized", False)
+    monkeypatch.setattr(distributed, "_state", None)
 
     def fake_init(**kwargs):
         raise ValueError("bad coordinator address")
@@ -39,11 +39,11 @@ def test_initialize_explicit_config_failure_propagates(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", fake_init)
     with pytest.raises(ValueError):
         distributed.initialize(coordinator_address="10.0.0.1:1234")
-    assert not distributed._initialized
+    assert distributed._state is None
 
 
 def test_initialize_runtime_failure_propagates(monkeypatch):
-    monkeypatch.setattr(distributed, "_initialized", False)
+    monkeypatch.setattr(distributed, "_state", None)
 
     def fake_init(**kwargs):
         raise RuntimeError("barrier timed out")
@@ -53,11 +53,11 @@ def test_initialize_runtime_failure_propagates(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", fake_init)
     with pytest.raises(RuntimeError):
         distributed.initialize()
-    assert not distributed._initialized
+    assert distributed._state is None
 
 
 def test_initialize_double_init_elsewhere_is_ok(monkeypatch):
-    monkeypatch.setattr(distributed, "_initialized", False)
+    monkeypatch.setattr(distributed, "_state", None)
 
     def fake_init(**kwargs):
         raise RuntimeError("jax.distributed is already initialized")
@@ -66,11 +66,11 @@ def test_initialize_double_init_elsewhere_is_ok(monkeypatch):
 
     monkeypatch.setattr(jax.distributed, "initialize", fake_init)
     distributed.initialize()  # treated as success
-    assert distributed._initialized
+    assert distributed._state == "initialized" 
 
 
 def test_initialize_success_path(monkeypatch):
-    monkeypatch.setattr(distributed, "_initialized", False)
+    monkeypatch.setattr(distributed, "_state", None)
     calls = []
 
     import jax
@@ -79,5 +79,27 @@ def test_initialize_success_path(monkeypatch):
         jax.distributed, "initialize", lambda **kw: calls.append(kw)
     )
     distributed.initialize(coordinator_address="10.0.0.1:1234", num_processes=2)
-    assert distributed._initialized
+    assert distributed._state == "initialized"
     assert calls == [{"coordinator_address": "10.0.0.1:1234", "num_processes": 2}]
+
+
+def test_noop_does_not_latch_explicit_init(monkeypatch):
+    """A no-kwargs call that found no cluster must not swallow a LATER
+    explicit initialize — that would silently demote a multi-host job to
+    single-process."""
+    monkeypatch.setattr(distributed, "_state", None)
+    calls = []
+
+    def fake_init(**kwargs):
+        calls.append(kwargs)
+        if not kwargs:
+            raise ValueError("coordinator_address should be defined.")
+
+    import jax
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    distributed.initialize()  # auto-detect finds nothing
+    assert distributed._state == "noop"
+    distributed.initialize(coordinator_address="10.0.0.1:1234")  # must proceed
+    assert distributed._state == "initialized"
+    assert len(calls) == 2

@@ -31,15 +31,8 @@ KS_SCALAR = [1, 2, 4, 8, 16, 32]
 KS_AVX = [8, 16, 24, 32, 40, 48]  # all six reference instantiations (huffman.cpp:1999-2004)
 
 
-def _avx_ok():
-    try:
-        oracle.run(LIB, 0, 8, AVX_PERMUTE, b"hello world hello")
-        return True
-    except Exception:
-        return False
-
-
-HAS_AVX = LIB is not None and _avx_ok()
+# Subprocess probe: SIGILL from missing AVX-512 kills the prober, not us.
+HAS_AVX = LIB is not None and oracle.avx_ok()
 
 
 @pytest.mark.parametrize("name,raw", standard_cases())

@@ -47,6 +47,7 @@ def main():
         TpuCodec,
         _encode_with_tables,
         _decode_full,
+        decode_statics,
     )
 
     results = {}
@@ -66,8 +67,8 @@ def main():
     s = -(-n // k)
     w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
     m = comp.meta()
-    group = max(g for g in (1, 2, 3, 4, 6, 8) if g <= max(1, min(m["l_min"], 32)))
-    w = min(-(-((m["max_bits"] + 31) // 32) // 4) * 4, w32)
+    # Shared derivation: time exactly what decode_device dispatches.
+    group, w, spec, syms_identity = decode_statics(m, s)
     use_pallas = jax.default_backend() != "cpu" and k % 1024 == 0 and 2 <= s <= 256
     enc_t = tables["enc_table"]
     eb, gr, sy = (
@@ -84,13 +85,16 @@ def main():
         return jnp.sum(bits).astype(jnp.float32)
 
     def dec_once(pert):
-        o = _decode_full(words + pert.astype(jnp.uint32), eb, gr, sy, s, n, group, w)
+        o = _decode_full(
+            words + pert.astype(jnp.uint32), eb, gr, sy, s, n, group, w,
+            spec, syms_identity, comp.bit_counts,
+        )
         return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
 
     def combined_once(pert):
         w32a, bits = _encode_with_tables(d + pert, enc_t, s, k, w32, use_pallas)
         wa = jax.lax.slice_in_dim(w32a, 0, w, axis=0)
-        o = _decode_full(wa, eb, gr, sy, s, n, group, w)
+        o = _decode_full(wa, eb, gr, sy, s, n, group, w, spec, syms_identity, bits)
         return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
 
     reps = 8 if args.fast else 32

@@ -147,6 +147,32 @@ def load():
     return lib
 
 
+def avx_ok() -> bool:
+    """Whether the oracle's AVX-512 paths can execute on this CPU.
+
+    The probe runs in a SUBPROCESS: executing AVX-512 instructions on a
+    CPU without them raises SIGILL, which no in-process except clause can
+    catch — the parent must observe the child's death instead.
+    """
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import build_reference_oracle as o\n"
+        "lib = o.load()\n"
+        "sys.exit(0 if lib and o.run(lib, 0, 8, 2, b'avx probe ' * 4) else 1)\n"
+        % os.path.dirname(os.path.abspath(__file__))
+    )
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c", code], capture_output=True, timeout=120
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def run(lib, op: int, k: int, method: int, data: bytes) -> bytes:
     import ctypes
 

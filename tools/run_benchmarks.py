@@ -60,16 +60,14 @@ def reference_codecs():
         ("bytes", "RefScalar", 4, _RefCodec(lib, 0, 4)),
         ("bytes", "RefScalar", 32, _RefCodec(lib, 0, 32)),
     ]
-    try:
-        probe = b"measured baseline probe " * 4
-        for name, codec in (
-            ("RefAvxPermute", _RefCodec(lib, 2, 16)),
-            ("RefAvxGather", _RefCodec(lib, 1, 32)),
-        ):
-            if codec.decompress(codec.compress(probe)) == probe:
-                rows.append(("bytes", name, codec.k, codec))
-    except Exception:
-        pass  # CPU lacks AVX-512: scalar rows only
+    # The AVX capability probe runs in a subprocess: a CPU without
+    # AVX-512 raises SIGILL, which kills the probing process — only the
+    # parent can degrade gracefully to scalar rows.
+    if oracle.avx_ok():
+        rows += [
+            ("bytes", "RefAvxPermute", 16, _RefCodec(lib, 2, 16)),
+            ("bytes", "RefAvxGather", 32, _RefCodec(lib, 1, 32)),
+        ]
     return rows
 
 
