@@ -23,7 +23,7 @@ would swamp any single-kernel timing; it is measured (one trivial
 fetch) and reported as ``dispatch_ms``.
 
 Watchdog: a daemon thread enforces two deadlines — the first device
-fetch must land within BENCH_PROBE_DEADLINE_S (default 90 s; a hung
+fetch must land within BENCH_PROBE_DEADLINE_S (default 150 s; a hung
 tunnel shows up here) and the whole run within BENCH_DEADLINE_S
 (default 540 s warm-cache; run ``python tools/prewarm_bench.py`` once
 after kernel changes to populate the persistent compile cache).
@@ -80,7 +80,7 @@ def _biased_bytes(n: int, seed: int = 0) -> np.ndarray:
 
 def run(prewarm: bool = False) -> None:
     t_start = time.monotonic()
-    probe_s = float(os.environ.get("BENCH_PROBE_DEADLINE_S", "90"))
+    probe_s = float(os.environ.get("BENCH_PROBE_DEADLINE_S", "150"))
     total_s = float(os.environ.get("BENCH_DEADLINE_S", "540"))
     if prewarm:
         probe_s, total_s = 300.0, 1800.0
@@ -150,11 +150,15 @@ def run(prewarm: bool = False) -> None:
         return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
 
     _state["stage"] = "compress timing"
-    t_c = sustained_seconds(enc_once, reps=32, tries=2)
+    # 64 reps puts the (t_R - t_1) delta far above the harness's
+    # 15 ms escalation threshold: noisy runs otherwise escalate to the
+    # dynamic-bound loop and its ~5% overhead shows up as bimodal
+    # decode readings (10.6 vs 12.3 GiB/s).
+    t_c = sustained_seconds(enc_once, reps=64, tries=4)
     _state["partial"]["compress_GiB_s"] = round(n / t_c / (1 << 30), 4)
 
     _state["stage"] = "decompress timing"
-    t_d = sustained_seconds(dec_once, reps=32, tries=2)
+    t_d = sustained_seconds(dec_once, reps=64, tries=4)
     _state["partial"]["decompress_GiB_s"] = round(n / t_d / (1 << 30), 4)
 
     _state["done"] = True
