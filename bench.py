@@ -185,10 +185,65 @@ def run(prewarm: bool = False) -> None:
     )
 
 
+def _supervise() -> int:
+    """Run the measurement in child processes, retrying transient tunnel
+    hangs.
+
+    A hung XLA call blocks its thread forever, so a retry REQUIRES a
+    fresh process.  Retries happen only for probe-stage watchdog
+    timeouts (the tunnel-hang signature, ~150 s each) within an overall
+    budget; any other outcome (success, real failure, mid-measurement
+    timeout) passes through unchanged.  The last child's JSON line is
+    re-emitted as this process's output.
+    """
+    import subprocess
+
+    budget = float(os.environ.get("BENCH_SUPERVISOR_BUDGET_S", "1200"))
+    t0 = time.monotonic()
+    attempt = 0
+    last = ""
+    while True:
+        attempt += 1
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--once"],
+            capture_output=True,
+            text=True,
+        )
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        last = lines[-1] if lines else json.dumps(
+            {
+                "metric": METRIC,
+                "value": None,
+                "unit": "GiB/s",
+                "vs_baseline": None,
+                "error": f"bench child produced no JSON (rc={r.returncode})",
+            }
+        )
+        transient = r.returncode != 0 and "tpu probe" in last
+        if not transient:
+            print(last, flush=True)
+            return r.returncode
+        if time.monotonic() - t0 + 210 > budget or attempt >= 4:
+            print(last, flush=True)
+            return r.returncode
+        time.sleep(60)  # give the tunnel a chance to recover
+
+
 def main():
-    prewarm = "--prewarm" in sys.argv
+    if "--prewarm" in sys.argv:
+        try:
+            run(prewarm=True)
+        except SystemExit:
+            raise
+        except BaseException as e:
+            _state["done"] = True
+            _emit_failure(f"{type(e).__name__}: {e}")
+            sys.exit(1)
+        return
+    if "--once" not in sys.argv:
+        sys.exit(_supervise())
     try:
-        run(prewarm=prewarm)
+        run(prewarm=False)
     except SystemExit:
         raise
     except BaseException as e:  # emit the JSON line no matter what
