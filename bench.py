@@ -27,10 +27,18 @@ fetch must land within BENCH_PROBE_DEADLINE_S (default 150 s; a hung
 tunnel shows up here) and the whole run within BENCH_DEADLINE_S
 (default 540 s warm-cache; run ``python tools/prewarm_bench.py`` once
 after kernel changes to populate the persistent compile cache).
+
+Supervisor (default entry): prints a provisional null line immediately
+(hard-kill insurance), runs the measurement in fresh child processes,
+and on probe-stage hangs polls the tunnel with cheap ``--probe``
+children until it recovers or BENCH_SUPERVISOR_BUDGET_S (default
+3000 s) nears exhaustion.  Failure lines carry ``last_known_good`` from
+``benchmarks/last_good.json``, which every successful run refreshes.
 """
 
 import json
 import os
+import pathlib
 import sys
 import threading
 import time
@@ -39,8 +47,29 @@ import numpy as np
 
 METRIC = "biased 16MiB compress+decompress sustained, 1 chip"
 REF_COMBINED_GIB_S = 1.830
+LAST_GOOD_PATH = pathlib.Path(__file__).resolve().parent / "benchmarks" / "last_good.json"
 
 _state = {"stage": "startup", "partial": {}, "deadline": None, "done": False}
+
+
+def _read_last_good():
+    """The most recent successful measurement committed to the repo.
+
+    Written by every successful full run (including --prewarm).  Attached
+    to failure JSON as ``last_known_good`` so a null round still records
+    the last number this code produced on this hardware."""
+    try:
+        return json.loads(LAST_GOOD_PATH.read_text())
+    except Exception:
+        return None
+
+
+def _write_last_good(record: dict) -> None:
+    try:
+        LAST_GOOD_PATH.parent.mkdir(parents=True, exist_ok=True)
+        LAST_GOOD_PATH.write_text(json.dumps(record, indent=1) + "\n")
+    except Exception:
+        pass  # measurement still gets printed; the record is best-effort
 
 
 def _emit_failure(reason: str) -> None:
@@ -54,6 +83,7 @@ def _emit_failure(reason: str) -> None:
                 "error": reason,
                 "stage": _state["stage"],
                 "partial": _state["partial"],
+                "last_known_good": _read_last_good(),
             }
         ),
         flush=True,
@@ -163,51 +193,105 @@ def run(prewarm: bool = False) -> None:
 
     _state["done"] = True
     combined = n / (t_c + t_d) / (1 << 30)
-    print(
-        json.dumps(
-            {
-                "metric": METRIC,
-                "value": round(combined, 4),
-                "unit": "GiB/s",
-                "vs_baseline": round(combined / REF_COMBINED_GIB_S, 4),
-                "detail": {
-                    "compress_GiB_s": round(n / t_c / (1 << 30), 4),
-                    "decompress_GiB_s": round(n / t_d / (1 << 30), 4),
-                    "ratio": round(ratio, 4),
-                    "k_lanes": k,
-                    "dispatch_ms": round(dispatch_ms, 1),
-                    "roundtrip_ok": bool(ok),
-                    "wall_s": round(time.monotonic() - t_start, 1),
-                },
-            }
-        ),
-        flush=True,
+    result = {
+        "metric": METRIC,
+        "value": round(combined, 4),
+        "unit": "GiB/s",
+        "vs_baseline": round(combined / REF_COMBINED_GIB_S, 4),
+        "detail": {
+            "compress_GiB_s": round(n / t_c / (1 << 30), 4),
+            "decompress_GiB_s": round(n / t_d / (1 << 30), 4),
+            "ratio": round(ratio, 4),
+            "k_lanes": k,
+            "dispatch_ms": round(dispatch_ms, 1),
+            "roundtrip_ok": bool(ok),
+            "wall_s": round(time.monotonic() - t_start, 1),
+        },
+    }
+    _write_last_good(
+        dict(result, measured_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
     )
+    print(json.dumps(result), flush=True)
+
+
+def _probe_child() -> None:
+    """Cheap tunnel-liveness check: one trivial device fetch under a
+    short watchdog.  Exits 0 iff the TPU answered.  Costs seconds when
+    the tunnel is up and ~45 s when it is hung — vs ~150 s for a full
+    measurement attempt — so the supervisor uses this between full
+    attempts to wait out an outage cheaply."""
+    _state["stage"] = "probe-only"
+    _state["deadline"] = time.monotonic() + float(
+        os.environ.get("BENCH_TINYPROBE_DEADLINE_S", "45")
+    )
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax.numpy as jnp
+
+    float(jnp.sum(jnp.ones(8)))
+    _state["done"] = True
 
 
 def _supervise() -> int:
     """Run the measurement in child processes, retrying transient tunnel
-    hangs.
+    hangs for as long as the budget allows.
 
     A hung XLA call blocks its thread forever, so a retry REQUIRES a
-    fresh process.  Retries happen only for probe-stage watchdog
-    timeouts (the tunnel-hang signature, ~150 s each) within an overall
-    budget; any other outcome (success, real failure, mid-measurement
-    timeout) passes through unchanged.  The last child's JSON line is
-    re-emitted as this process's output.
+    fresh process.  Policy (round-3 rework; the r01/r02 outages
+    outlasted the old 1200 s / 4-attempt budget):
+
+    * A *provisional* JSON line (value null, ``last_known_good``
+      attached) is printed immediately, so even a hard external kill
+      leaves a parseable record; the final line supersedes it.
+    * After a probe-stage hang, cheap ``--probe`` children (~45 s when
+      hung, ~15 s when up) poll the tunnel with growing sleeps; a full
+      measurement attempt (~150 s when hung) is only spent once a probe
+      succeeds, or as a last resort when the budget nears exhaustion.
+    * Any non-transient outcome (success, real failure, mid-measurement
+      timeout) passes through unchanged, with ``last_known_good`` merged
+      into failure lines.
     """
     import subprocess
 
-    budget = float(os.environ.get("BENCH_SUPERVISOR_BUDGET_S", "1200"))
+    budget = float(os.environ.get("BENCH_SUPERVISOR_BUDGET_S", "3000"))
+    reserve = 420.0  # keep room for one final full attempt + emit
     t0 = time.monotonic()
-    attempt = 0
+    here = os.path.abspath(__file__)
+
+    def remaining() -> float:
+        return budget - (time.monotonic() - t0)
+
+    def emit(line: str, rc: int) -> int:
+        try:
+            obj = json.loads(line)
+        except Exception:
+            obj = {
+                "metric": METRIC,
+                "value": None,
+                "unit": "GiB/s",
+                "vs_baseline": None,
+                "error": "bench child produced unparseable output",
+            }
+        if obj.get("value") is None and "last_known_good" not in obj:
+            obj["last_known_good"] = _read_last_good()
+        print(json.dumps(obj), flush=True)
+        return rc
+
+    provisional = {
+        "metric": METRIC,
+        "value": None,
+        "unit": "GiB/s",
+        "vs_baseline": None,
+        "error": "provisional record printed at start; superseded by the final line unless the process was killed externally",
+        "provisional": True,
+        "last_known_good": _read_last_good(),
+    }
+    print(json.dumps(provisional), flush=True)
+
     last = ""
+    rc = 1
     while True:
-        attempt += 1
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--once"],
-            capture_output=True,
-            text=True,
+            [sys.executable, here, "--once"], capture_output=True, text=True
         )
         lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
         last = lines[-1] if lines else json.dumps(
@@ -219,17 +303,35 @@ def _supervise() -> int:
                 "error": f"bench child produced no JSON (rc={r.returncode})",
             }
         )
-        transient = r.returncode != 0 and "tpu probe" in last
-        if not transient:
-            print(last, flush=True)
-            return r.returncode
-        if time.monotonic() - t0 + 210 > budget or attempt >= 4:
-            print(last, flush=True)
-            return r.returncode
-        time.sleep(60)  # give the tunnel a chance to recover
+        rc = r.returncode
+        transient = rc != 0 and "tpu probe" in last
+        if not transient or remaining() <= reserve:
+            return emit(last, rc)
+        # Tunnel hang: poll cheaply until it answers or the budget says
+        # spend the final full attempt anyway.
+        sleep_s = 30.0
+        while remaining() > reserve:
+            time.sleep(min(sleep_s, max(1.0, remaining() - reserve)))
+            sleep_s = min(sleep_s * 1.5, 120.0)
+            try:
+                p = subprocess.run(
+                    [sys.executable, here, "--probe"],
+                    capture_output=True,
+                    timeout=75,
+                )
+                if p.returncode == 0:
+                    break  # tunnel answered — spend a full attempt
+            except subprocess.TimeoutExpired:
+                pass
 
 
 def main():
+    if "--probe" in sys.argv:
+        try:
+            _probe_child()
+        except BaseException:
+            sys.exit(1)
+        return
     if "--prewarm" in sys.argv:
         try:
             run(prewarm=True)

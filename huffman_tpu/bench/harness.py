@@ -66,7 +66,15 @@ def sustained_seconds(
 
     t1 = measure(1, f_static, 1)
     tr = measure(reps, f_static, reps)
+    escalated = False
     while tr - t1 <= 0.015 and reps < max_reps:
+        if not escalated:
+            # Both ends of the delta must come from the SAME program:
+            # the dynamic-bound while loop costs ~3-5% per iteration on
+            # ms-scale bodies, which would otherwise be billed to the
+            # kernel (bimodal readings at default reps).
+            t1 = measure(1, f_dyn, jnp.int32(1))
+            escalated = True
         reps *= 4
         tr = measure(reps, f_dyn, jnp.int32(reps))
     return max((tr - t1) / (reps - 1), 1e-9)

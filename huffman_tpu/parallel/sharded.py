@@ -17,9 +17,14 @@ Because the table builder itself is jittable (ops/table_build.py), the
 entire histogram -> psum -> table -> encode -> decode step compiles to ONE
 XLA program: zero host syncs, collectives riding ICI.
 
-Layout: a block's lane framing is ``bytes.reshape(K, S)`` — lane k owns a
-contiguous S-byte slice — so sharding the byte axis of ``(B, N)`` input
-over ``stream`` IS lane sharding; no resharding collective is needed on
+Layout: within each shard the lane framing is STRIDED, matching the
+single-chip tpu profile — ``block.reshape(s, k_local)``, local byte b ->
+lane ``b % k_local``, row ``b // k_local`` (see ``_shard_encode_one``).
+The host-side ``_permute_in``/``_permute_out`` hand shard c exactly the
+global strided byte subset for lanes ``[c*k_local, (c+1)*k_local)``, so
+shard-local streams equal the global tpu-profile lane map and
+sharded-compressed blobs are standard HTP3 blocks.  The permutation is a
+host reshape/transpose; no device resharding collective is needed on
 either side of the step.
 
 Per-lane exact bit counts (the huffman.cpp:770-786 sizing trick) come back

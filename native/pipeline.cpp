@@ -53,19 +53,30 @@ uint64_t GetU64(const uint8_t* p) {
   return (uint64_t)GetU32(p) | ((uint64_t)GetU32(p + 4) << 32);
 }
 
-// Run fn(i) for i in [0, n) on up to `threads` workers.
-void ParallelFor(long n, int threads, const std::function<void(long)>& fn) {
+// Run fn(i) for i in [0, n) on up to `threads` workers.  Returns false
+// if any call threw (e.g. bad_alloc in a worker's buffer resize) — an
+// uncaught exception in a std::thread would std::terminate the whole
+// embedding process, defeating the never-abort-through-the-C-ABI guard.
+bool ParallelFor(long n, int threads, const std::function<void(long)>& fn) {
+  std::atomic<bool> ok{true};
+  auto safe = [&](long i) {
+    try {
+      fn(i);
+    } catch (...) {
+      ok = false;
+    }
+  };
   if (threads < 1) threads = 1;
   if (n <= 1 || threads == 1) {
-    for (long i = 0; i < n; ++i) fn(i);
-    return;
+    for (long i = 0; i < n && ok; ++i) safe(i);
+    return ok;
   }
   std::atomic<long> next{0};
   auto worker = [&] {
     for (;;) {
       long i = next.fetch_add(1);
-      if (i >= n) return;
-      fn(i);
+      if (i >= n || !ok) return;
+      safe(i);
     }
   };
   int nt = (int)std::min<long>(threads, n);
@@ -74,6 +85,7 @@ void ParallelFor(long n, int threads, const std::function<void(long)>& fn) {
   for (int t = 0; t < nt - 1; ++t) pool.emplace_back(worker);
   worker();
   for (auto& th : pool) th.join();
+  return ok;
 }
 
 bool ReadAll(const char* path, std::vector<uint8_t>& out) {
@@ -121,7 +133,7 @@ long hp_compress_file(const char* in_path, const char* out_path, long block,
   };
   std::vector<Rec> recs(nb);
 
-  ParallelFor(nb, threads, [&](long i) {
+  bool ok = ParallelFor(nb, threads, [&](long i) {
     long off = i * block;
     long m = std::min(block, n - off);
     Rec& r = recs[i];
@@ -147,6 +159,7 @@ long hp_compress_file(const char* in_path, const char* out_path, long block,
       r.payload.assign((const char*)raw.data() + off, (size_t)m);
     }
   });
+  if (!ok) return -1;
 
   std::string out;
   out.append((const char*)kMagic, 4);
@@ -216,7 +229,7 @@ long hp_decompress_file(const char* in_path, const char* out_path,
     return -1;
   }
   std::atomic<bool> fail{false};
-  ParallelFor((long)recs.size(), threads, [&](long i) {
+  bool ran = ParallelFor((long)recs.size(), threads, [&](long i) {
     const Rec& r = recs[i];
     if (r.raw_len == 0) return;
     if (r.kind == kKindStored) {
@@ -226,14 +239,20 @@ long hp_decompress_file(const char* in_path, const char* out_path,
       }
       std::memcpy(out.data() + r.out_off, r.p, r.raw_len);
     } else if (r.kind == kKindRef) {
-      size_t got =
-          hh_decompress(r.p, r.len, r.k ? r.k : 1, out.data() + r.out_off, r.raw_len);
-      if (got == (size_t)-1) fail = true;
+      // kx == 0 on an 'R' record is malformed (container.decode_record
+      // enforces 1 <= kx), and a short decode would leave silently
+      // zero-filled tail bytes — require the exact record length back.
+      if (r.k < 1) {
+        fail = true;
+        return;
+      }
+      size_t got = hh_decompress(r.p, r.len, r.k, out.data() + r.out_off, r.raw_len);
+      if (got != (size_t)r.raw_len) fail = true;
     } else {
       fail = true;  // 'H' (tpu-profile) records need the Python decoder
     }
   });
-  if (fail) return -1;
+  if (fail || !ran) return -1;
   if (!WriteAll(out_path, out.data(), out.size())) return -1;
   return (long)out.size();
 }
