@@ -158,7 +158,7 @@ def run(prewarm: bool = False) -> None:
     w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
     # The ONE shared derivation of the decode-dispatch statics, so the
     # benchmark times exactly the program decode_device dispatches.
-    group, w, spec, syms_identity = decode_statics(m, s)
+    group, w, spec, syms_identity, dev_slots, dev_rd = decode_statics(m, s)
     use_pallas = jax.default_backend() != "cpu" and k % 1024 == 0 and 2 <= s <= 256
 
     def enc_once(pert):
@@ -175,7 +175,7 @@ def run(prewarm: bool = False) -> None:
     def dec_once(pert):
         o = _decode_full(
             words + pert.astype(jnp.uint32), eb, gr, sy, s, n, group, w,
-            spec, syms_identity, comp.bit_counts,
+            spec, syms_identity, comp.bit_counts, dev_slots, dev_rd,
         )
         return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
 

@@ -119,7 +119,7 @@ def bench_tpu_codec(codec, raw: bytes, reps: int = 32) -> dict:
     k = comp.k
     s = -(-n // k)
     w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
-    group, w, spec, syms_identity = decode_statics(m, s)
+    group, w, spec, syms_identity, dev_slots, dev_rd = decode_statics(m, s)
     use_pallas = _pallas_ok(k) and 2 <= s <= 256
 
     def enc_once(pert):
@@ -136,7 +136,7 @@ def bench_tpu_codec(codec, raw: bytes, reps: int = 32) -> dict:
     def dec_once(pert):
         o = _decode_full(
             words + pert.astype(jnp.uint32), eb, gr, sy, s, n, group, w,
-            spec, syms_identity, comp.bit_counts,
+            spec, syms_identity, comp.bit_counts, dev_slots, dev_rd,
         )
         return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
 

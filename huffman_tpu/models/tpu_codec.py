@@ -227,13 +227,19 @@ def decode_statics(m: dict, s: int) -> tuple:
     derivation the codec API and every benchmark share, so benchmarks
     always measure exactly the dispatched program.
 
-    Returns (group, w, spec, syms_identity):
+    Returns (group, w, spec, syms_identity, dev_slots, dev_rd):
       group — staging-group width, bucketed to {1,2,3,4,6,8} <= l_min;
       w — scan word count, rounded up to a multiple of 2 (program-cache
         bucketing) and capped at the worst-case payload;
       spec — present-length compare-chain runs (dense unless >= 2 terms
         collapse, so dense alphabets share one compiled program);
-      syms_identity — True when rank -> symbol is the identity map.
+      syms_identity — True when rank -> symbol is the identity map;
+      dev_slots — 0, or the {4, 8} bucket when rank -> symbol deviates
+        from identity in at most that many ranks (near-monotone sources:
+        the kernel applies sparse corrections instead of a lane gather);
+      dev_rd — (32,) int32: deviation ranks at [0:16] (pad -1), deltas
+        at [16:32].  Dynamic values — every deviation pattern in a
+        bucket shares one compiled program.
     """
     l_min = max(1, min(m["l_min"], 32))
     group = max(g for g in (1, 2, 3, 4, 6, 8) if g <= l_min)
@@ -243,16 +249,29 @@ def decode_statics(m: dict, s: int) -> tuple:
     if len(spec) > len(DENSE_SPEC) - 2:
         spec = DENSE_SPEC
     ns = m["num_syms"]
-    syms_identity = bool(np.array_equal(m["sorted_syms"][:ns], np.arange(ns)))
-    return group, w, spec, syms_identity
+    ss = np.asarray(m["sorted_syms"][:ns], np.int64)
+    devs = np.nonzero(ss != np.arange(ns))[0]
+    syms_identity = len(devs) == 0
+    dev_slots = 0
+    dev_rd = np.full((32,), -1, np.int32)
+    if not syms_identity and len(devs) <= 8:
+        # Beyond ~8 corrections the arithmetic approaches the gather's
+        # ~50-op cost; stop there rather than spend more programs.
+        dev_slots = 4 if len(devs) <= 4 else 8
+        dev_rd[: len(devs)] = devs
+        dev_rd[16 : 16 + len(devs)] = ss[devs] - devs
+        dev_rd[16 + len(devs) : 32] = 0
+    return group, w, spec, syms_identity, dev_slots, dev_rd
 
 
 @functools.partial(
-    jax.jit, static_argnames=("s", "n", "group", "w", "spec", "syms_identity")
+    jax.jit,
+    static_argnames=("s", "n", "group", "w", "spec", "syms_identity", "dev_slots"),
 )
 def _decode_full(
     words, e_bound, g_rank, syms, s: int, n: int, group: int, w: int,
     spec: tuple = DENSE_SPEC, syms_identity: bool = False, bit_counts=None,
+    dev_slots: int = 0, dev_rd=None,
 ):
     k = words.shape[1]
     # The fused kernel's VMEM footprint must fit a grid step; skewed
@@ -270,7 +289,8 @@ def _decode_full(
             step_words = (bc + 31) // 32
         out3 = decode_bitserial_pallas(
             w3, e_bound, g_rank, syms, group=group, out_len=s, blk=blk,
-            spec=spec, syms_identity=syms_identity, step_words=step_words,
+            spec=spec, syms_identity=syms_identity, dev_slots=dev_slots,
+            dev_rd=dev_rd, step_words=step_words,
         )
         out = out3.reshape(s, k).astype(jnp.uint8)
     else:
@@ -361,7 +381,7 @@ class TpuCodec:
         if m["num_syms"] <= 1:
             sym = int(m["sorted_syms"][0]) if m["num_syms"] else 0
             return jnp.full((n,), sym, jnp.uint8)
-        group, w, spec, syms_identity = decode_statics(m, s)
+        group, w, spec, syms_identity, dev_slots, dev_rd = decode_statics(m, s)
         words = comp.words
         if words.shape[0] < w:
             words = jnp.concatenate(
@@ -379,6 +399,8 @@ class TpuCodec:
             spec,
             syms_identity,
             comp.bit_counts,
+            dev_slots,
+            dev_rd,
         )
 
     # ---------- batched device API ----------

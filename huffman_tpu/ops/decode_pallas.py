@@ -112,6 +112,7 @@ def _make_decode_kernel(
     spec: tuple = DENSE_SPEC,
     debug_stages: int = 3,
     syms_identity: bool = False,
+    dev_slots: int = 0,
 ):
     slots = -(-32 // group)
     T = t_rows
@@ -278,9 +279,20 @@ def _make_decode_kernel(
         # tried for ~38% less row traffic: intermediate rows invert and
         # valid entries overwrite each other — simulation shows ~75% of
         # random cases corrupt.)
-        src, dst = st_ref, st2_ref
-        sh = 1
-        while sh <= d_max:
+        #
+        # Dynamic round count: THIS grid step's displacements are bounded
+        # by w_stop*slots - out_len + 1 (each lane's staged rows stop at
+        # its word count <= w_stop and it emits >= out_len - 1 symbols —
+        # the same argument that bounds the static d_max, with T replaced
+        # by this step's true staged height).  Rounds run in PAIRS
+        # (st -> st2 -> st), so a skipped tail pair leaves the live data
+        # in st_ref and the final read never depends on how many pairs
+        # ran.  On the 16 MiB biased headline this skips 2 of 8 rounds
+        # (strided lanes sit near the mean, w_stop*slots - out_len ~ 58
+        # vs the static bound 193).
+        dmax_dyn = jnp.minimum(w_stop * slots - out_len + 1, d_max)
+
+        def round_(src, dst, sh):
             base = src[:T]
             xs = src[sh : sh + T]
             arrive = ((xs >> 13) & sh) != 0
@@ -288,10 +300,38 @@ def _make_decode_kernel(
             dst[:T] = jnp.where(
                 arrive, xs - (sh << 13), jnp.where(stay, base, 0)
             )
-            src, dst = dst, src
-            sh <<= 1
 
-        codes = (src[:out_len] & 0x1FFF) - 1  # (out_len, BLK, 128)
+        shifts = []
+        sh = 1
+        while sh <= d_max:
+            shifts.append(sh)
+            sh <<= 1
+        i = 0
+        while i + 1 < len(shifts):
+            sh1, sh2 = shifts[i], shifts[i + 1]
+
+            @pl.when(sh1 <= dmax_dyn)
+            def _pair(sh1=sh1, sh2=sh2):
+                round_(st_ref, st2_ref, sh1)
+                round_(st2_ref, st_ref, sh2)
+
+            i += 2
+        if i < len(shifts):
+            # Trailing odd round lands in st2; select the final source by
+            # whether it ran (two out_len-row loads beat an unconditional
+            # T-row copy-back).
+            last_sh = shifts[i]
+            ran = last_sh <= dmax_dyn
+
+            @pl.when(ran)
+            def _last():
+                round_(st_ref, st2_ref, last_sh)
+
+            final = jnp.where(ran, st2_ref[:out_len], st_ref[:out_len])
+        else:
+            final = st_ref[:out_len]
+
+        codes = (final & 0x1FFF) - 1  # (out_len, BLK, 128)
 
         if debug_stages <= 2:  # perf probe: scan + compaction only
             out_ref[:] = codes
@@ -329,6 +369,22 @@ def _make_decode_kernel(
             # saves one lane gather (~50 elementwise-op equivalents) per
             # emitted symbol row.
             out_ref[:] = rank.reshape(out_len, blk, 128)
+        elif dev_slots:
+            # NEAR-identity sources (empirical counts of a monotone
+            # distribution fluctuate at the rare tail — the 16 MiB biased
+            # headline has 7 swapped ranks carrying ~6e-6 of the mass):
+            # rank -> symbol = identity plus a handful of corrections,
+            # sym = rank + sum_i [rank == r_i] * d_i.  The (r_i, d_i)
+            # ride in SMEM scalars (scal[32:], pad rank -1 never matches
+            # a clipped rank), so every deviation PATTERN shares one
+            # compiled program — only the {<=4, <=8} bucket is static.
+            # dev_slots * ~3 ops beats the ~50-op lane gather.
+            sym = rank
+            for i in range(dev_slots):
+                sym = sym + jnp.where(
+                    rank == scal_ref[0, 32 + i], scal_ref[0, 48 + i], 0
+                )
+            out_ref[:] = sym.reshape(out_len, blk, 128)
         else:
             pairs = jnp.broadcast_to(syms_ref[0:1, :], (flat_rows, 128))
             v = jnp.take_along_axis(pairs, rank >> 1, axis=1)
@@ -339,7 +395,11 @@ def _make_decode_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "out_len", "blk", "scan", "spec", "debug_stages", "syms_identity")
+    jax.jit,
+    static_argnames=(
+        "group", "out_len", "blk", "scan", "spec", "debug_stages",
+        "syms_identity", "dev_slots",
+    ),
 )
 def decode_bitserial_pallas(
     words3,
@@ -354,6 +414,8 @@ def decode_bitserial_pallas(
     spec: tuple = DENSE_SPEC,
     debug_stages: int = 3,
     syms_identity: bool = False,
+    dev_slots: int = 0,
+    dev_rd=None,
     step_words=None,
 ):
     """Fused TPU decode.
@@ -372,9 +434,14 @@ def decode_bitserial_pallas(
     slots = -(-32 // group)
     t_rows = W * slots
 
-    scal = jnp.zeros((1, 32), _I32)
+    scal = jnp.zeros((1, 64), _I32)
     scal = scal.at[0, :14].set(e_bound.astype(_I32))
     scal = scal.at[0, 16 : 16 + 13].set(g_rank.astype(_I32))
+    if dev_slots:
+        # Sparse rank->symbol deviations: ranks at [32:32+dev_slots],
+        # deltas at [48:48+dev_slots]; pad rank -1 never matches.
+        dr = jnp.full((32,), -1, _I32) if dev_rd is None else dev_rd.astype(_I32)
+        scal = scal.at[0, 32:64].set(dr)
     # VMEM table: row 0 = rank->symbol byte-packed pairs (entry r holds
     # sym[2r] | sym[2r+1]<<8), so the post-pass needs one lane gather per
     # symbol; row 1 keeps the block sublane-even.
@@ -394,7 +461,8 @@ def decode_bitserial_pallas(
     if step_words is None:
         step_words = jnp.full((n_steps,), W, _I32)
     kernel = _make_decode_kernel(
-        W, group, out_len, t_rows, blk, scan, spec, debug_stages, syms_identity
+        W, group, out_len, t_rows, blk, scan, spec, debug_stages,
+        syms_identity, dev_slots,
     )
     d_max = max(t_rows - out_len + 1, 0)
     pad = _compaction_pad(d_max)
@@ -402,7 +470,7 @@ def decode_bitserial_pallas(
         kernel,
         grid=(KR // blk,),
         in_specs=[
-            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.SMEM),
             # Whole (n_steps,) array in SMEM each step (Mosaic requires
             # full-array rank-1 blocks); indexed by program_id above.
             pl.BlockSpec((n_steps,), lambda i: (0,), memory_space=pltpu.SMEM),

@@ -209,6 +209,60 @@ def test_decode_kernel_identity_syms():
     np.testing.assert_array_equal(np.asarray(gen), np.asarray(fast))
 
 
+@pytest.mark.parametrize("dev_slots", [4, 8])
+def test_decode_kernel_sparse_deviation_syms(dev_slots):
+    """The sparse rank->symbol correction path (near-identity sorted_syms,
+    deviations as SMEM scalars) must match the general gather path."""
+    k, s = 1024, 32
+    # Strictly decreasing counts except two swapped pairs -> sorted_syms
+    # deviates from identity in exactly 4 ranks.
+    counts = (4400 - 250 * np.arange(12)).astype(np.int64)
+    counts[5], counts[6] = counts[6], counts[5]
+    counts[9], counts[10] = counts[10], counts[9]
+    pool = np.repeat(np.arange(12, dtype=np.uint8), counts)[: k * s]
+    assert len(pool) == k * s
+    data = np.random.default_rng(7).permutation(pool)
+    data, cc, enc_table, t, b2 = _setup_from(data, k=k, s=s)
+    ns = cc.num_syms
+    ss = np.asarray(cc.sorted_syms[:ns], np.int64)
+    devs = np.nonzero(ss != np.arange(ns))[0]
+    assert 1 <= len(devs) <= dev_slots, (
+        f"crafted corpus must deviate in <= {dev_slots} ranks, got {len(devs)}"
+    )
+    dev_rd = np.full((32,), -1, np.int32)
+    dev_rd[: len(devs)] = devs
+    dev_rd[16 : 16 + len(devs)] = ss[devs] - devs
+    dev_rd[16 + len(devs) : 32] = 0
+    valid = jnp.ones((s, k), bool)
+    w16, wc, bits = encode_lanes(b2, valid, enc_table)
+    from huffman_tpu.constants import MAX_CODE_LEN
+
+    w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
+    w16p = jnp.concatenate(
+        [w16, jnp.zeros((2 * w32c - w16.shape[0], k), w16.dtype)]
+    )
+    words32 = pack_u16_words_to_u32(w16p, jnp.minimum(wc, 2 * w32c))
+    w = int((np.asarray(bits).max() + 31) // 32)
+    words = jnp.asarray(np.asarray(words32[:w])).reshape(w, k // 128, 128)
+    eb, gr, sy = (
+        jnp.asarray(t["e_bound"]),
+        jnp.asarray(t["g_rank"]),
+        jnp.asarray(t["syms"]),
+    )
+    group = min(t["l_min"], 4)
+    with pltpu.force_tpu_interpret_mode():
+        gen = decode_bitserial_pallas(
+            words, eb, gr, sy, group=group, out_len=s
+        )
+        sparse = decode_bitserial_pallas(
+            words, eb, gr, sy, group=group, out_len=s,
+            dev_slots=dev_slots, dev_rd=jnp.asarray(dev_rd),
+        )
+    np.testing.assert_array_equal(np.asarray(gen), np.asarray(sparse))
+    got = np.asarray(sparse).reshape(s, k).astype(np.uint8).T.reshape(-1)
+    np.testing.assert_array_equal(got, data)
+
+
 @pytest.mark.slow
 def test_decode_kernel_per_step_word_stop():
     """Per-grid-step dynamic scan bounds (from exact bit counts) must be

@@ -1,0 +1,242 @@
+"""Same-session A/B kernel comparison harness.
+
+Cross-session decode readings on the tunneled v5e drift +-10-15% with
+chip/tunnel state (CLAUDE.md perf notes), so a perf claim of the form
+"variant B is X% faster" is only checkable when both variants run
+INTERLEAVED in one process against the same data.  This tool:
+
+1. builds two variants of the decode (or encode) dispatch from key=value
+   overrides (scan mode, grid blk, stage count, ...),
+2. asserts they produce bit-identical output on the measured block,
+3. alternates A,B sustained measurements for ``rounds`` rounds,
+4. reports the per-round ratio t_A/t_B with median and spread.
+
+Every perf number in benchmarks/RESULTS.md that compares two kernel
+variants should cite an A/B ratio from this tool, not two absolute
+readings from different sessions.
+
+Usage:
+  python tools/ab.py decode --b scan=group,blk=16 --size 16777216
+  python tools/ab.py decode --a blk=8 --b blk=16 --rounds 5
+  python tools/ab.py encode --size 16777216        # encode A/B (no overrides yet)
+
+Variant keys (decode): scan (bit|group|group_tree), blk (8|16|32),
+debug_stages (1|2|3).  Omitted keys take the production dispatch values.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+
+def biased_bytes(n: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    return rng.choice(256, size=n, p=p).astype(np.uint8)
+
+
+def ab_compare(fn_a, fn_b, *, rounds: int = 5, reps: int = 64,
+               name_a: str = "A", name_b: str = "B") -> dict:
+    """Interleaved sustained timing of two 0-ary jitted bodies.
+
+    Each round measures A then B with the in-jit repetition harness;
+    ratios are per-round (same chip/tunnel state within a round), so the
+    median ratio is robust to drift across rounds.
+    """
+    from huffman_tpu.bench.harness import sustained_seconds
+
+    # Alternate measurement order per round: the first-measured variant
+    # pays residual warmup/cache effects (a ~10% bias was observed on
+    # identical variants measured in fixed order), and alternation makes
+    # that bias cancel in the median ratio.  Use an ODD round count.
+    times_a, times_b, ratios = [], [], []
+    for r in range(rounds):
+        if r % 2 == 0:
+            ta = sustained_seconds(fn_a, reps=reps, tries=3)
+            tb = sustained_seconds(fn_b, reps=reps, tries=3)
+        else:
+            tb = sustained_seconds(fn_b, reps=reps, tries=3)
+            ta = sustained_seconds(fn_a, reps=reps, tries=3)
+        times_a.append(ta)
+        times_b.append(tb)
+        ratios.append(ta / tb)
+    # Ratio of medians (not median of per-round ratios): with order
+    # alternation each variant's median mixes first- and second-measured
+    # rounds, so residual order bias cancels here.
+    med = statistics.median(times_a) / statistics.median(times_b)
+    return {
+        "name_a": name_a,
+        "name_b": name_b,
+        "rounds": rounds,
+        "t_a_ms": [round(t * 1e3, 4) for t in times_a],
+        "t_b_ms": [round(t * 1e3, 4) for t in times_b],
+        "ratio_a_over_b": [round(x, 4) for x in ratios],
+        "median_ratio": round(med, 4),
+        "spread": round(max(ratios) - min(ratios), 4),
+        "b_speedup_pct": round((med - 1.0) * 100, 2),
+    }
+
+
+def _parse_overrides(s: str | None) -> dict:
+    out = {}
+    for kv in (s or "").split(","):
+        if not kv:
+            continue
+        k, v = kv.split("=", 1)
+        out[k] = int(v) if v.lstrip("-").isdigit() else v
+    return out
+
+
+def _decode_variant(comp, n: int, overrides: dict):
+    """A 0-ary decode body for the headline block with kernel overrides.
+
+    Falls back to the production `_decode_full` when no overrides are
+    given (so A defaults to exactly what decode_device dispatches)."""
+    import jax
+    import jax.numpy as jnp
+
+    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.models.tpu_codec import decode_statics
+    from huffman_tpu.ops.decode_pallas import (
+        decode_bitserial_pallas,
+        decode_kernel_blk,
+    )
+
+    m = comp.meta()
+    k = comp.k
+    s = -(-n // k)
+    group, w, spec, syms_identity, dev_slots, dev_rd = decode_statics(m, s)
+    dev_slots = overrides.get("dev_slots", dev_slots)
+    if overrides.get("sym_gather", 0):
+        syms_identity, dev_slots = False, 0
+    blk = overrides.get("blk", decode_kernel_blk(w, group, s, k // 128))
+    if not blk:
+        raise SystemExit("fused kernel does not fit at this shape")
+    scan = overrides.get("scan", "auto")
+    debug_stages = overrides.get("debug_stages", 3)
+    words = comp.words
+    if words.shape[0] < w:
+        words = jnp.concatenate(
+            [words, jnp.zeros((w - words.shape[0], k), words.dtype)]
+        )
+    w3 = jax.lax.slice_in_dim(words, 0, w, axis=0).reshape(w, k // 128, 128)
+    bc = comp.bit_counts.reshape(-1, blk * 128).max(axis=1)
+    step_words = (bc + 31) // 32
+    eb, gr, sy = (
+        comp.tables["e_bound"],
+        comp.tables["g_rank"],
+        comp.tables["sorted_syms"],
+    )
+    kw = {kk: vv for kk, vv in overrides.items()
+          if kk not in ("blk", "scan", "debug_stages", "dev_slots", "sym_gather")}
+
+    def once(pert):
+        o = decode_bitserial_pallas(
+            w3 + pert.astype(jnp.uint32), eb, gr, sy, group=group,
+            out_len=s, blk=blk, scan=scan, spec=spec,
+            debug_stages=debug_stages, syms_identity=syms_identity,
+            dev_slots=dev_slots, dev_rd=jnp.asarray(dev_rd),
+            step_words=step_words, **kw,
+        )
+        return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
+
+    def output():
+        return np.asarray(
+            decode_bitserial_pallas(
+                w3, eb, gr, sy, group=group, out_len=s, blk=blk, scan=scan,
+                spec=spec, debug_stages=debug_stages,
+                syms_identity=syms_identity, dev_slots=dev_slots,
+                dev_rd=jnp.asarray(dev_rd), step_words=step_words, **kw,
+            )
+        )
+
+    return once, output
+
+
+def _encode_variant(data, s, k, w32, overrides: dict):
+    import jax.numpy as jnp
+
+    from huffman_tpu.models.tpu_codec import _encode_full
+
+    use_pallas = overrides.get("pallas", 1) != 0
+
+    def once(pert):
+        words32, bits, t = _encode_full(data + pert, s, k, w32, use_pallas)
+        return (jnp.sum(bits) + jnp.sum(t["enc_table"])).astype(jnp.float32)
+
+    def output():
+        words32, bits, _ = _encode_full(data, s, k, w32, use_pallas)
+        return np.asarray(words32), np.asarray(bits)
+
+    return once, output
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", choices=["decode", "encode"])
+    ap.add_argument("--a", default="", help="variant A overrides k=v,k=v (default: production dispatch)")
+    ap.add_argument("--b", default="", help="variant B overrides")
+    ap.add_argument("--size", type=int, default=16 << 20)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip-exact", action="store_true",
+                    help="skip the bit-exactness cross-check (e.g. debug_stages variants)")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.models.tpu_codec import TpuCodec
+
+    n = args.size
+    data = jnp.asarray(biased_bytes(n, args.seed))
+    codec = TpuCodec()
+    comp = codec.encode_device(data)
+    ov_a, ov_b = _parse_overrides(args.a), _parse_overrides(args.b)
+
+    t0 = time.monotonic()
+    if args.which == "decode":
+        fa, out_a = _decode_variant(comp, n, ov_a)
+        fb, out_b = _decode_variant(comp, n, ov_b)
+    else:
+        k = comp.k
+        s = -(-n // k)
+        w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
+        fa, out_a = _encode_variant(data, s, k, w32, ov_a)
+        fb, out_b = _encode_variant(data, s, k, w32, ov_b)
+
+    if not args.skip_exact:
+        oa, ob = out_a(), out_b()
+        same = (
+            all(np.array_equal(x, y) for x, y in zip(oa, ob))
+            if isinstance(oa, tuple)
+            else np.array_equal(oa, ob)
+        )
+        if not same:
+            print(json.dumps({"error": "variants differ bit-wise", "a": args.a, "b": args.b}))
+            sys.exit(1)
+
+    res = ab_compare(
+        fa, fb, rounds=args.rounds, reps=args.reps,
+        name_a=args.a or "production", name_b=args.b or "production",
+    )
+    res["bit_exact"] = not args.skip_exact
+    res["size"] = n
+    res["GiB_s_a_median"] = round(n / (statistics.median(res["t_a_ms"]) / 1e3) / (1 << 30), 3)
+    res["GiB_s_b_median"] = round(n / (statistics.median(res["t_b_ms"]) / 1e3) / (1 << 30), 3)
+    res["wall_s"] = round(time.monotonic() - t0, 1)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -68,7 +68,7 @@ def main():
     w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
     m = comp.meta()
     # Shared derivation: time exactly what decode_device dispatches.
-    group, w, spec, syms_identity = decode_statics(m, s)
+    group, w, spec, syms_identity, dev_slots, dev_rd = decode_statics(m, s)
     use_pallas = jax.default_backend() != "cpu" and k % 1024 == 0 and 2 <= s <= 256
     enc_t = tables["enc_table"]
     eb, gr, sy = (
@@ -87,14 +87,17 @@ def main():
     def dec_once(pert):
         o = _decode_full(
             words + pert.astype(jnp.uint32), eb, gr, sy, s, n, group, w,
-            spec, syms_identity, comp.bit_counts,
+            spec, syms_identity, comp.bit_counts, dev_slots, dev_rd,
         )
         return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
 
     def combined_once(pert):
         w32a, bits = _encode_with_tables(d + pert, enc_t, s, k, w32, use_pallas)
         wa = jax.lax.slice_in_dim(w32a, 0, w, axis=0)
-        o = _decode_full(wa, eb, gr, sy, s, n, group, w, spec, syms_identity, bits)
+        o = _decode_full(
+            wa, eb, gr, sy, s, n, group, w, spec, syms_identity, bits,
+            dev_slots, dev_rd,
+        )
         return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
 
     reps = 8 if args.fast else 32
