@@ -422,8 +422,13 @@ class TpuCodec:
         use_pallas = _pallas_ok(k) and 2 <= s <= 256
         return _encode_batch(blocks, s, k, w32, use_pallas)
 
-    def decode_batch(self, words, bit_counts, tables, n_block: int):
-        """Inverse of `encode_batch` (blocks of identical raw size)."""
+    def batch_decode_statics(self, words, bit_counts, tables, n_block: int):
+        """Host-side decode statics (group, w, blk) for a batch.
+
+        The ONE place the batched decode path syncs device metadata (two
+        fetches: bit_counts max, len_count).  Compute once per batch
+        stream and pass to repeated `decode_batch` calls — each fetch
+        costs a full tunnel RTT (~26 ms) otherwise."""
         bcount, _, k = words.shape
         s = -(-n_block // k)
         bits = np.asarray(bit_counts)
@@ -436,6 +441,19 @@ class TpuCodec:
         w = int((bits.max() + 31) // 32)
         w = max(min(-(-w // 4) * 4, words.shape[1]), 1)
         blk = decode_kernel_blk(w, group, s, k // 128) if _pallas_ok(k) else 0
+        return group, w, blk
+
+    def decode_batch(self, words, bit_counts, tables, n_block: int,
+                     statics: tuple | None = None):
+        """Inverse of `encode_batch` (blocks of identical raw size).
+
+        ``statics``: optional (group, w, blk) from `batch_decode_statics`
+        — pass it on repeated decodes to keep the dispatch sync-free."""
+        _, _, k = words.shape
+        s = -(-n_block // k)
+        if statics is None:
+            statics = self.batch_decode_statics(words, bit_counts, tables, n_block)
+        group, w, blk = statics
         out = _decode_batch(
             words,
             tables["e_bound"],

@@ -209,9 +209,9 @@ def sharded_decode(words, e_bound, g_rank, syms, *, mesh, k, s, w, group):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "k", "s", "w32", "group")
+    jax.jit, static_argnames=("mesh", "k", "s", "w32", "group", "pallas")
 )
-def sharded_roundtrip(data, *, mesh, k, s, w32, group=1):
+def sharded_roundtrip(data, *, mesh, k, s, w32, group=1, pallas="auto"):
     """Fully-jitted sharded compress+decompress step.
 
     Args:
@@ -224,6 +224,10 @@ def sharded_roundtrip(data, *, mesh, k, s, w32, group=1):
         worst case; smaller only if the data is known compressible).
       group: static staging-group width for the bit-serial decoder (1 is
         always safe).
+      pallas: 'auto' (fused kernels on accelerator backends when shard
+        shapes fit), 'force' (always — pair with Pallas interpret mode on
+        CPU so the multichip dryrun exercises the vma-declared kernel
+        path), or 'off'.
 
     Returns:
       decoded: (B, N) uint8 — must equal ``data``.
@@ -234,12 +238,17 @@ def sharded_roundtrip(data, *, mesh, k, s, w32, group=1):
     k_local = k // n_stream
     # Fused Pallas kernels on accelerator backends when the per-device
     # shard shapes fit their guards (same conditions as models/tpu_codec).
-    use_pallas = (
-        jax.default_backend() != "cpu"
-        and k_local % 1024 == 0
-        and 2 <= s <= 256
-        and decode_kernel_fits(w32, group, s)
-    )
+    if pallas == "force":
+        assert k_local % 1024 == 0 and 2 <= s <= 256, (k_local, s)
+        use_pallas = True
+    else:
+        use_pallas = (
+            pallas == "auto"
+            and jax.default_backend() != "cpu"
+            and k_local % 1024 == 0
+            and 2 <= s <= 256
+            and decode_kernel_fits(w32, group, s)
+        )
 
     def step(blocks):  # blocks: (B_local, k_local * s) u8
         def one(block):

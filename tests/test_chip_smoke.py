@@ -1,0 +1,83 @@
+"""One real-hardware round-trip in the pytest battery (--runslow).
+
+Every other test forces CPU (conftest.py), so backend-only regressions
+(Mosaic lowering, tunnel dispatch, persistent-cache interplay) surface
+only in bench.py.  This smoke test drives a 1 MiB biased round-trip
+through TpuCodec on the live backend in a SUBPROCESS (the parent
+interpreter already pinned jax to CPU, which cannot be undone
+in-process).
+
+Skips — never fails — when no live TPU backend is reachable: this
+environment's tunnel drops for hours at a time, and a dead tunnel is
+not a codec regression.  A reachable chip that produces wrong bytes IS
+a failure.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_CHILD = textwrap.dedent(
+    """
+    import sys
+    import numpy as np
+    import jax
+
+    try:
+        backend = jax.default_backend()
+    except Exception as e:  # no live backend at all (e.g. axon init failure)
+        print("SMOKE_SKIP: backend init failed: %s" % e)
+        sys.exit(0)
+    if backend == "cpu":
+        print("SMOKE_SKIP: cpu backend only")
+        sys.exit(0)
+    from huffman_tpu.models.tpu_codec import TpuCodec
+
+    rng = np.random.default_rng(11)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    raw = rng.choice(256, size=1 << 20, p=p).astype(np.uint8).tobytes()
+    c = TpuCodec()
+    blob = c.compress(raw)
+    out = c.decompress(blob)
+    if out != raw:
+        print("SMOKE_FAIL: round-trip mismatch")
+        sys.exit(1)
+    print("SMOKE_OK ratio=%.3f backend=%s" % (len(blob) / len(raw), jax.default_backend()))
+    """
+)
+
+
+@pytest.mark.slow
+def test_real_chip_roundtrip_smoke():
+    env = dict(os.environ)
+    # Undo conftest's CPU pinning for the child: restore the ambient TPU
+    # platform and drop the virtual-device flag.
+    env["JAX_PLATFORMS"] = "axon"
+    flags = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    if flags:
+        env["XLA_FLAGS"] = " ".join(flags)
+    else:
+        env.pop("XLA_FLAGS", None)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _CHILD],
+            capture_output=True,
+            text=True,
+            timeout=420,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU tunnel unreachable (child timed out)")
+    out = r.stdout + r.stderr
+    if "SMOKE_SKIP" in out:
+        pytest.skip("no non-CPU backend available")
+    assert "SMOKE_OK" in out, f"rc={r.returncode}\n{out[-2000:]}"

@@ -67,6 +67,21 @@ def test_encode_batch_roundtrip():
     np.testing.assert_array_equal(got, blocks)
 
 
+def test_decode_batch_precomputed_statics():
+    """Repeated decodes with precomputed statics (the sync-free path)
+    must match the self-deriving call."""
+    c = TpuCodec(k=64)
+    rng = np.random.default_rng(6)
+    B, nb = 4, 4096
+    blocks = rng.integers(0, 200, size=(B, nb), dtype=np.uint8)
+    words, bits, tables = c.encode_batch(jnp.asarray(blocks))
+    statics = c.batch_decode_statics(words, bits, tables, nb)
+    a = np.asarray(c.decode_batch(words, bits, tables, nb))
+    b = np.asarray(c.decode_batch(words, bits, tables, nb, statics=statics))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(b.reshape(B, nb), blocks)
+
+
 def test_encode_batch_matches_single():
     """Each batched block must be bit-identical to its solo encoding."""
     c = TpuCodec(k=64)
