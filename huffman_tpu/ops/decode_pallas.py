@@ -113,6 +113,7 @@ def _make_decode_kernel(
     debug_stages: int = 3,
     syms_identity: bool = False,
     dev_slots: int = 0,
+    out_u8: bool = False,
 ):
     slots = -(-32 // group)
     T = t_rows
@@ -130,6 +131,11 @@ def _make_decode_kernel(
             scan_spec.append((l, cnt))
 
     def kernel(scal_ref, wstop_ref, w_ref, syms_ref, out_ref, st_ref, st2_ref):
+        def _store(x):
+            # u8 output quarters the HBM write (S*K bytes instead of
+            # S*K*4) and turns the XLA post-pass astype into a reshape.
+            return x.astype(jnp.uint8) if out_u8 else x
+
         eb = [(scal_ref[0, l], m) for l, m in scan_spec]
         # Per-grid-step scan bound: this step's 1024 lanes may use far
         # fewer words than the global max (lane-length skew); scan only
@@ -368,7 +374,7 @@ def _make_decode_kernel(
             # rank -> symbol needs NO lookup at all.  Detected host-side;
             # saves one lane gather (~50 elementwise-op equivalents) per
             # emitted symbol row.
-            out_ref[:] = rank.reshape(out_len, blk, 128)
+            out_ref[:] = _store(rank.reshape(out_len, blk, 128))
         elif dev_slots:
             # NEAR-identity sources (empirical counts of a monotone
             # distribution fluctuate at the rare tail — the 16 MiB biased
@@ -384,12 +390,12 @@ def _make_decode_kernel(
                 sym = sym + jnp.where(
                     rank == scal_ref[0, 32 + i], scal_ref[0, 48 + i], 0
                 )
-            out_ref[:] = sym.reshape(out_len, blk, 128)
+            out_ref[:] = _store(sym.reshape(out_len, blk, 128))
         else:
             pairs = jnp.broadcast_to(syms_ref[0:1, :], (flat_rows, 128))
             v = jnp.take_along_axis(pairs, rank >> 1, axis=1)
             sym = jnp.where((rank & 1) == 1, v >> 8, v) & 0xFF
-            out_ref[:] = sym.reshape(out_len, blk, 128)
+            out_ref[:] = _store(sym.reshape(out_len, blk, 128))
 
     return kernel
 
@@ -398,7 +404,7 @@ def _make_decode_kernel(
     jax.jit,
     static_argnames=(
         "group", "out_len", "blk", "scan", "spec", "debug_stages",
-        "syms_identity", "dev_slots",
+        "syms_identity", "dev_slots", "out_u8",
     ),
 )
 def decode_bitserial_pallas(
@@ -416,6 +422,7 @@ def decode_bitserial_pallas(
     syms_identity: bool = False,
     dev_slots: int = 0,
     dev_rd=None,
+    out_u8: bool = False,
     step_words=None,
 ):
     """Fused TPU decode.
@@ -460,9 +467,11 @@ def decode_bitserial_pallas(
     n_steps = KR // blk
     if step_words is None:
         step_words = jnp.full((n_steps,), W, _I32)
+    if out_u8:
+        assert debug_stages == 3, "u8 output only for the full kernel"
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
-        syms_identity, dev_slots,
+        syms_identity, dev_slots, out_u8,
     )
     d_max = max(t_rows - out_len + 1, 0)
     pad = _compaction_pad(d_max)
@@ -480,7 +489,9 @@ def decode_bitserial_pallas(
         out_specs=pl.BlockSpec(
             (out_len, blk, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=_sds((out_len, KR, 128), _I32, words3),
+        out_shape=_sds(
+            (out_len, KR, 128), jnp.uint8 if out_u8 else _I32, words3
+        ),
         scratch_shapes=[
             pltpu.VMEM((t_rows + pad, blk, 128), _I32),
             pltpu.VMEM((t_rows + pad, blk, 128), _I32),

@@ -263,6 +263,40 @@ def test_decode_kernel_sparse_deviation_syms(dev_slots):
     np.testing.assert_array_equal(got, data)
 
 
+def test_decode_kernel_u8_output():
+    """out_u8=True must produce the same byte values as the int32 path."""
+    k, s = 1024, 32
+    data, cc, enc_table, t, b2 = _setup(style="biased", k=k, s=s)
+    valid = jnp.ones((s, k), bool)
+    w16, wc, bits = encode_lanes(b2, valid, enc_table)
+    from huffman_tpu.constants import MAX_CODE_LEN
+
+    w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
+    w16p = jnp.concatenate(
+        [w16, jnp.zeros((2 * w32c - w16.shape[0], k), w16.dtype)]
+    )
+    words32 = pack_u16_words_to_u32(w16p, jnp.minimum(wc, 2 * w32c))
+    w = int((np.asarray(bits).max() + 31) // 32)
+    words = jnp.asarray(np.asarray(words32[:w])).reshape(w, k // 128, 128)
+    eb, gr, sy = (
+        jnp.asarray(t["e_bound"]),
+        jnp.asarray(t["g_rank"]),
+        jnp.asarray(t["syms"]),
+    )
+    group = min(t["l_min"], 4)
+    with pltpu.force_tpu_interpret_mode():
+        i32 = decode_bitserial_pallas(
+            words, eb, gr, sy, group=group, out_len=s
+        )
+        u8 = decode_bitserial_pallas(
+            words, eb, gr, sy, group=group, out_len=s, out_u8=True
+        )
+    assert np.asarray(u8).dtype == np.uint8
+    np.testing.assert_array_equal(
+        np.asarray(i32).astype(np.uint8), np.asarray(u8)
+    )
+
+
 @pytest.mark.slow
 def test_decode_kernel_per_step_word_stop():
     """Per-grid-step dynamic scan bounds (from exact bit counts) must be
