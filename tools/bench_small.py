@@ -1,0 +1,82 @@
+"""Single-block small-input latency sweep (the reference's home turf).
+
+The reference benchmarks single 100 KiB blocks (huffman_benchmark.cpp:19).
+A TPU pays fixed per-dispatch costs (table build ~0.33 ms, kernel launch,
+and through this environment's tunnel a ~26 ms RPC), so small single
+blocks are latency-bound; this sweep measures sustained single-block
+rates across sizes and lane counts and prints the crossover table for
+RESULTS.md ("TPU wins above X KiB single-block; any size batched").
+
+Key lever at 100 KiB: the auto lane heuristic picks k=512 (s=200),
+which fails the fused kernels' k % 1024 == 0 guard and falls back to
+the XLA scan pipeline; k=1024 (s=100) keeps the Pallas path at a ~1-2%
+serialized-size cost (per-lane bit counts).
+
+Usage: python tools/bench_small.py [--sizes 102400,262144,1048576]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def biased(n, seed=0):
+    rng = np.random.default_rng(seed)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    return rng.choice(256, size=n, p=p).astype(np.uint8)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sizes", default="102400,262144,1048576,4194304",
+        help="comma-separated block sizes in bytes",
+    )
+    ap.add_argument("--ks", default="auto,1024,2048,4096")
+    ap.add_argument("--reps", type=int, default=64)
+    ap.add_argument("--out", default="benchmarks/results_small.json")
+    args = ap.parse_args()
+
+    from huffman_tpu.bench.harness import bench_tpu_codec
+    from huffman_tpu.models.tpu_codec import TpuCodec, default_lanes
+
+    results = {}
+    for n in (int(x) for x in args.sizes.split(",")):
+        raw = biased(n).tobytes()
+        rows = []
+        for kspec in args.ks.split(","):
+            k = default_lanes(n) if kspec == "auto" else int(kspec)
+            if k > n:
+                continue
+            label = f"k={k}" + (" (auto)" if kspec == "auto" else "")
+            try:
+                r = bench_tpu_codec(TpuCodec(k=k), raw, reps=args.reps)
+            except Exception as e:  # kernel guard / shape rejection
+                rows.append({"k": label, "error": f"{type(e).__name__}: {e}"})
+                continue
+            rows.append(
+                {
+                    "k": label,
+                    "compress_GiB_s": round(r["compress_bps"] / 2**30, 3),
+                    "decompress_GiB_s": round(r["decompress_bps"] / 2**30, 3),
+                    "ratio": round(r["ratio"], 4),
+                    "roundtrip_ok": r["roundtrip_ok"],
+                }
+            )
+            print(n, rows[-1], flush=True)
+        results[str(n)] = rows
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
