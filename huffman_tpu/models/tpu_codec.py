@@ -252,12 +252,16 @@ def decode_statics(m: dict, s: int) -> tuple:
     ss = np.asarray(m["sorted_syms"][:ns], np.int64)
     devs = np.nonzero(ss != np.arange(ns))[0]
     syms_identity = len(devs) == 0
+    # Sparse rank->symbol corrections (dev_slots) are DISABLED in the
+    # default dispatch: same-session A/B (tools/ab.py, v5e, 16 MiB biased,
+    # 7 deviations -> bucket 8) measured the correction chain 33.75%
+    # SLOWER than the lane gather (8.85 vs 11.84 GiB/s) — the per-slot
+    # SMEM-scalar compare/selects serialize where the single gather
+    # pipelines.  dev_rd is still derived so the kernel path stays
+    # bit-exact under tools/ab.py's dev_slots= override.
     dev_slots = 0
     dev_rd = np.full((32,), -1, np.int32)
-    if not syms_identity and len(devs) <= 8:
-        # Beyond ~8 corrections the arithmetic approaches the gather's
-        # ~50-op cost; stop there rather than spend more programs.
-        dev_slots = 4 if len(devs) <= 4 else 8
+    if not syms_identity and len(devs) <= 16:
         dev_rd[: len(devs)] = devs
         dev_rd[16 : 16 + len(devs)] = ss[devs] - devs
         dev_rd[16 + len(devs) : 32] = 0

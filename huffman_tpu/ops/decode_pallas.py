@@ -114,6 +114,7 @@ def _make_decode_kernel(
     syms_identity: bool = False,
     dev_slots: int = 0,
     out_u8: bool = False,
+    dyn_rounds: bool = False,
 ):
     slots = -(-32 // group)
     T = t_rows
@@ -296,7 +297,17 @@ def _make_decode_kernel(
         # ran.  On the 16 MiB biased headline this skips 2 of 8 rounds
         # (strided lanes sit near the mean, w_stop*slots - out_len ~ 58
         # vs the static bound 193).
-        dmax_dyn = jnp.minimum(w_stop * slots - out_len + 1, d_max)
+        #
+        # MEASURED OFF by default: same-session A/B (tools/ab.py, v5e,
+        # 16 MiB biased) shows the dynamic bound 10.5% SLOWER despite
+        # skipping 2 rounds — the pl.when-guarded pairs cost Mosaic more
+        # in scheduling than the skipped rounds save.  Kept behind the
+        # flag for re-evaluation on other shapes/toolchains.
+        dmax_dyn = (
+            jnp.minimum(w_stop * slots - out_len + 1, d_max)
+            if dyn_rounds
+            else jnp.int32(d_max)
+        )
 
         def round_(src, dst, sh):
             base = src[:T]
@@ -404,7 +415,7 @@ def _make_decode_kernel(
     jax.jit,
     static_argnames=(
         "group", "out_len", "blk", "scan", "spec", "debug_stages",
-        "syms_identity", "dev_slots", "out_u8",
+        "syms_identity", "dev_slots", "out_u8", "dyn_rounds",
     ),
 )
 def decode_bitserial_pallas(
@@ -423,6 +434,7 @@ def decode_bitserial_pallas(
     dev_slots: int = 0,
     dev_rd=None,
     out_u8: bool = False,
+    dyn_rounds: bool = False,
     step_words=None,
 ):
     """Fused TPU decode.
@@ -471,7 +483,7 @@ def decode_bitserial_pallas(
         assert debug_stages == 3, "u8 output only for the full kernel"
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
-        syms_identity, dev_slots, out_u8,
+        syms_identity, dev_slots, out_u8, dyn_rounds,
     )
     d_max = max(t_rows - out_len + 1, 0)
     pad = _compaction_pad(d_max)
