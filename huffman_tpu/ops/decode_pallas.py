@@ -121,6 +121,21 @@ def _make_decode_kernel(
     shape = (blk, 128)
     d_max_static = max(T - out_len + 1, 0)
     pad = _compaction_pad(d_max_static)
+    # Staged-entry layout: (win + 1) << db | disp, invalid rows 0.  The
+    # displacement sits in the LOW bits so each compaction round tests
+    # and clears its bit with `& sh` / `- sh` — no shifts on the merge
+    # path (2 fewer ops per row per round than the disp-high layout).
+    # The field must span T - 1, not d_max: GARBAGE entries (rank >=
+    # out_len, emitted past a lane's real data) can displace up to
+    # T - 1.  They are harmless at any width — an entry's position after
+    # processing contiguous low bits [1, sh] is rank + (disp & ~(2sh-1)),
+    # and since rank is strictly increasing and (disp & ~mask) is
+    # monotone in disp for contiguous masks, positions stay strictly
+    # ordered for ALL entries at ALL rounds (no collisions); entries
+    # with disp > d_max keep residual high bits and never reach
+    # [0, out_len) — but the field must be wide enough that those high
+    # bits don't corrupt the win field.
+    db = max((T - 1).bit_length(), 1)
     # Scan terms: levels >= group only (group <= l_min, so every length
     # below `group` satisfies its canonical compare; fold those into the
     # initial count).  A run straddling `group` keeps only its levels
@@ -157,7 +172,8 @@ def _make_decode_kernel(
             c, c2 = carry
             cur = w_ref[w]
             nx = jnp.where(w + 1 < w_rows, w_ref[jnp.minimum(w + 1, w_rows - 1)], 0)
-            svals = [jnp.full(shape, -1, _I32)] * slots
+            svals = [jnp.zeros(shape, _I32)] * slots
+            rowbase = w * slots
 
             def full_at(j):
                 # Bits [j, j+12) end up in the top 12 after a later >> 20;
@@ -198,7 +214,11 @@ def _make_decode_kernel(
                         ln = ln + t
                     boundary = c == 0
                     sl = j // group
-                    svals[sl] = jnp.where(boundary, (c2 << 12) | win, svals[sl])
+                    # Stage the packed form directly (disp = row - rank =
+                    # rowbase + sl - c2): this deletes the former stage-2
+                    # repacking pass over all T rows.
+                    ent = ((win + 1) << db) | (rowbase + sl - c2)
+                    svals[sl] = jnp.where(boundary, ent, svals[sl])
                     c = jnp.where(boundary, ln - 1, c - 1)
                     c2 = c2 + boundary.astype(_I32)
             else:
@@ -229,7 +249,8 @@ def _make_decode_kernel(
                         ln = parts[0]
                         for t in parts[1:]:
                             ln = ln + t
-                    svals[sl] = jnp.where(bany, (c2 << 12) | win, svals[sl])
+                    ent = ((win + 1) << db) | (rowbase + sl - c2)
+                    svals[sl] = jnp.where(bany, ent, svals[sl])
                     # Boundary at offset c: after it the countdown is
                     # ln - 1, minus the (wd - 1 - c) bits left in the
                     # group  =>  ln + c - wd.  No boundary: c - wd.
@@ -245,7 +266,7 @@ def _make_decode_kernel(
 
         def zero_rows(w, _):
             for sl in range(slots):
-                st_ref[w * slots + sl] = jnp.full(shape, -1, _I32)
+                st_ref[w * slots + sl] = jnp.zeros(shape, _I32)
             return 0
 
         jax.lax.fori_loop(w_stop, w_rows, zero_rows, 0)
@@ -255,17 +276,14 @@ def _make_decode_kernel(
             return
 
         # ---- Stage 2: stable per-lane compaction (displacement rounds) ----
-        staged = st_ref[:T]
-        valid = staged >= 0
-        row = jax.lax.broadcasted_iota(_I32, staged.shape, 0)
-        disp = row - (staged >> 12)  # row - rank, >= 0, monotone steps {0,1}
-        # Pack: disp<<13 | (win+1); invalid rows 0.  A zero entry behaves
-        # exactly like an invalid "stay" (its displacement bits are zero
-        # and merging keeps zero), so no explicit validity test per round.
-        packed = jnp.where(valid, (disp << 13) | ((staged & 0x0FFF) + 1), 0)
-        # Every lane emits >= out_len - 1 real symbols (ref-profile slices
-        # may be one short; tpu-profile lanes emit >= out_len), bounding
-        # displacements at T - out_len + 1: rounds stop there, not log2(T).
+        # The scan staged entries in the packed form already ((win+1)<<db
+        # | disp, invalid rows 0); a zero entry behaves exactly like an
+        # invalid "stay" (its displacement bits are zero and merging
+        # keeps zero), so no per-round validity test and no repacking
+        # pass here.  Every lane emits >= out_len - 1 real symbols
+        # (ref-profile slices may be one short; tpu-profile lanes emit
+        # >= out_len), bounding NEEDED displacements at T - out_len + 1:
+        # rounds stop there, not log2(T).
         d_max = d_max_static
         # Ping-pong between the two (padded) scratch buffers: each round
         # reads the base rows and a statically shifted slice — no rolls,
@@ -274,81 +292,90 @@ def _make_decode_kernel(
         # and measured SLOWER on v5e: 1.55 vs 1.48 ms at 16 MiB; the two
         # extra slice reads and deeper select chain cost more than the
         # halved round count.)
-        st_ref[:T] = packed
         if pad:
             st_ref[T : T + pad] = jnp.zeros((pad, blk, 128), _I32)
             st2_ref[T : T + pad] = jnp.zeros((pad, blk, 128), _I32)
-        # Rounds MUST run ascending (LSB-first): with dest rows strictly
-        # increasing and displacement steps in {0,1}, clearing low bits
-        # first keeps intermediate rows (dest + remaining_high_bits)
-        # strictly ordered, so an arriving entry never collides with a
-        # staying one.  (MSB-first with shrinking working heights was
-        # tried for ~38% less row traffic: intermediate rows invert and
-        # valid entries overwrite each other — simulation shows ~75% of
-        # random cases corrupt.)
-        #
-        # Dynamic round count: THIS grid step's displacements are bounded
-        # by w_stop*slots - out_len + 1 (each lane's staged rows stop at
-        # its word count <= w_stop and it emits >= out_len - 1 symbols —
-        # the same argument that bounds the static d_max, with T replaced
-        # by this step's true staged height).  Rounds run in PAIRS
-        # (st -> st2 -> st), so a skipped tail pair leaves the live data
-        # in st_ref and the final read never depends on how many pairs
-        # ran.  On the 16 MiB biased headline this skips 2 of 8 rounds
-        # (strided lanes sit near the mean, w_stop*slots - out_len ~ 58
-        # vs the static bound 193).
-        #
-        # MEASURED OFF by default: same-session A/B (tools/ab.py, v5e,
-        # 16 MiB biased) shows the dynamic bound 10.5% SLOWER despite
-        # skipping 2 rounds — the pl.when-guarded pairs cost Mosaic more
-        # in scheduling than the skipped rounds save.  Kept behind the
-        # flag for re-evaluation on other shapes/toolchains.
-        dmax_dyn = (
-            jnp.minimum(w_stop * slots - out_len + 1, d_max)
-            if dyn_rounds
-            else jnp.int32(d_max)
-        )
-
-        def round_(src, dst, sh):
-            base = src[:T]
-            xs = src[sh : sh + T]
-            arrive = ((xs >> 13) & sh) != 0
-            stay = ((base >> 13) & sh) == 0
-            dst[:T] = jnp.where(
-                arrive, xs - (sh << 13), jnp.where(stay, base, 0)
-            )
-
+        # Rounds MUST run ascending (LSB-first): positions after the
+        # contiguous low mask [1, sh] is processed are
+        # rank + (disp & ~(2sh-1)), strictly ordered for all entries (see
+        # the layout note above), so an arriving entry never collides
+        # with a staying one.  (MSB-first with shrinking working heights
+        # was tried for ~38% less row traffic: intermediate rows invert
+        # and valid entries overwrite each other — simulation shows ~75%
+        # of random cases corrupt.)
         shifts = []
         sh = 1
         while sh <= d_max:
             shifts.append(sh)
             sh <<= 1
-        i = 0
-        while i + 1 < len(shifts):
-            sh1, sh2 = shifts[i], shifts[i + 1]
+        # Static height trim: before round i, every entry destined for a
+        # row < out_len sits at row < out_len + sum(shifts[i:]), so round
+        # i only needs to write heights[i] = out_len + sum(shifts[i+1:])
+        # rows — the read window sh + h of round i+1 lands exactly at
+        # round i's written height, and rows above it (stale ping-pong
+        # garbage) are never read.  On the 16 MiB headline this trims the
+        # last two of 8 rounds from 320 rows to 256 and 128.
+        heights = [0] * len(shifts)
+        rem = 0
+        for i in range(len(shifts) - 1, -1, -1):
+            heights[i] = min(T, out_len + rem)
+            rem += shifts[i]
 
-            @pl.when(sh1 <= dmax_dyn)
-            def _pair(sh1=sh1, sh2=sh2):
-                round_(st_ref, st2_ref, sh1)
-                round_(st2_ref, st_ref, sh2)
+        def round_(src, dst, sh, h):
+            base = src[:h]
+            xs = src[sh : sh + h]
+            arrive = (xs & sh) != 0
+            stay = (base & sh) == 0
+            dst[:h] = jnp.where(arrive, xs - sh, jnp.where(stay, base, 0))
 
-            i += 2
-        if i < len(shifts):
-            # Trailing odd round lands in st2; select the final source by
-            # whether it ran (two out_len-row loads beat an unconditional
-            # T-row copy-back).
-            last_sh = shifts[i]
-            ran = last_sh <= dmax_dyn
-
-            @pl.when(ran)
-            def _last():
-                round_(st_ref, st2_ref, last_sh)
-
-            final = jnp.where(ran, st2_ref[:out_len], st_ref[:out_len])
+        if not dyn_rounds:
+            bufs = (st_ref, st2_ref)
+            cur = 0
+            for i, sh in enumerate(shifts):
+                round_(bufs[cur], bufs[cur ^ 1], sh, heights[i])
+                cur ^= 1
+            final = bufs[cur][:out_len]
         else:
-            final = st_ref[:out_len]
+            # Dynamic round count: THIS grid step's displacements are
+            # bounded by w_stop*slots - out_len + 1 (the static d_max
+            # argument with T replaced by this step's true staged
+            # height).  Rounds run in PAIRS (st -> st2 -> st), so a
+            # skipped tail pair leaves the live data in st_ref.
+            #
+            # MEASURED OFF by default: same-session A/B (tools/ab.py,
+            # v5e, 16 MiB biased) shows the dynamic bound 10.5% SLOWER
+            # despite skipping 2 of 8 rounds — the pl.when-guarded pairs
+            # cost Mosaic more in scheduling than the skipped rounds
+            # save.  Kept behind the flag for re-evaluation on other
+            # shapes/toolchains.
+            dmax_dyn = jnp.minimum(w_stop * slots - out_len + 1, d_max)
+            i = 0
+            while i + 1 < len(shifts):
+                sh1, sh2 = shifts[i], shifts[i + 1]
+                h1, h2 = heights[i], heights[i + 1]
 
-        codes = (final & 0x1FFF) - 1  # (out_len, BLK, 128)
+                @pl.when(sh1 <= dmax_dyn)
+                def _pair(sh1=sh1, sh2=sh2, h1=h1, h2=h2):
+                    round_(st_ref, st2_ref, sh1, h1)
+                    round_(st2_ref, st_ref, sh2, h2)
+
+                i += 2
+            if i < len(shifts):
+                # Trailing odd round lands in st2; select the final
+                # source by whether it ran (two out_len-row loads beat
+                # an unconditional T-row copy-back).
+                last_sh, last_h = shifts[i], heights[i]
+                ran = last_sh <= dmax_dyn
+
+                @pl.when(ran)
+                def _last():
+                    round_(st_ref, st2_ref, last_sh, last_h)
+
+                final = jnp.where(ran, st2_ref[:out_len], st_ref[:out_len])
+            else:
+                final = st_ref[:out_len]
+
+        codes = (final >> db) - 1  # (out_len, BLK, 128)
 
         if debug_stages <= 2:  # perf probe: scan + compaction only
             out_ref[:] = codes

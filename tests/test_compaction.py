@@ -72,7 +72,8 @@ def test_displacement_rounds_lsb_first_randomized():
     import numpy as np
 
     rng = np.random.default_rng(42)
-    for _ in range(300):
+    tested = 0
+    for _ in range(400):
         T = int(rng.integers(4, 100))
         out_len = int(rng.integers(1, T + 1))
         d_max = T - out_len + 1
@@ -81,21 +82,37 @@ def test_displacement_rounds_lsb_first_randomized():
             continue
         rank = np.cumsum(valid) - 1
         disp = np.arange(T) - rank
-        if disp[valid].max(initial=0) > d_max:
+        # The kernel guarantees disp <= d_max only for NEEDED entries
+        # (rank < out_len); garbage entries past a lane's real data may
+        # displace up to T - 1 and must stay out of [0, out_len) via
+        # their residual (unprocessed) high displacement bits.
+        needed = valid & (rank < out_len)
+        if disp[needed].max(initial=0) > d_max:
             continue
+        tested += 1
+        db = max(int(T - 1).bit_length(), 1)
         win = rng.integers(0, 4096, T)
-        packed = np.where(valid, (disp << 13) | (win + 1), 0).astype(np.int64)
+        packed = np.where(valid, ((win + 1) << db) | disp, 0).astype(np.int64)
         pad = 1 << (int(d_max).bit_length() - 1) if d_max >= 1 else 0
         src = np.concatenate([packed, np.zeros(pad, np.int64)])
         dst = np.zeros_like(src)
+        shifts = []
         sh = 1
         while sh <= d_max:
-            base, xs = src[:T], src[sh : sh + T]
-            arrive = ((xs >> 13) & sh) != 0
-            stay = ((base >> 13) & sh) == 0
-            dst[:T] = np.where(arrive, xs - (sh << 13), np.where(stay, base, 0))
-            src, dst = dst.copy(), src
+            shifts.append(sh)
             sh <<= 1
-        got = src[:out_len] & 0x1FFF
+        heights = [0] * len(shifts)
+        rem = 0
+        for i in range(len(shifts) - 1, -1, -1):
+            heights[i] = min(T, out_len + rem)
+            rem += shifts[i]
+        for sh, h in zip(shifts, heights):
+            base, xs = src[:h], src[sh : sh + h]
+            arrive = (xs & sh) != 0
+            stay = (base & sh) == 0
+            dst[:h] = np.where(arrive, xs - sh, np.where(stay, base, 0))
+            src, dst = dst.copy(), src
+        got = src[:out_len] >> db
         want = (win[valid] + 1)[:out_len]
         np.testing.assert_array_equal(got[: len(want)], want)
+    assert tested >= 100
