@@ -161,8 +161,12 @@ def run(prewarm: bool = False) -> None:
     group, w, spec, syms_identity, dev_slots, dev_rd = decode_statics(m, s)
     use_pallas = jax.default_backend() != "cpu" and k % 1024 == 0 and 2 <= s <= 256
 
+    hist_stride = codec._hist_stride(n)
+
     def enc_once(pert):
-        words32, bits, t = _encode_full(d + pert, s, k, w32, use_pallas)
+        words32, bits, t = _encode_full(
+            d + pert, s, k, w32, use_pallas, hist_stride
+        )
         return (jnp.sum(bits) + jnp.sum(t["enc_table"])).astype(jnp.float32)
 
     words = comp.words

@@ -122,8 +122,12 @@ def bench_tpu_codec(codec, raw: bytes, reps: int = 32) -> dict:
     group, w, spec, syms_identity, dev_slots, dev_rd = decode_statics(m, s)
     use_pallas = _pallas_ok(k) and 2 <= s <= 256
 
+    hist_stride = codec._hist_stride(n)
+
     def enc_once(pert):
-        words32, bits, t = _encode_full(data + pert, s, k, w32, use_pallas)
+        words32, bits, t = _encode_full(
+            data + pert, s, k, w32, use_pallas, hist_stride
+        )
         return (jnp.sum(bits) + jnp.sum(t["enc_table"])).astype(jnp.float32)
 
     words = comp.words

@@ -137,12 +137,50 @@ class TpuCompressed:
         )
 
 
-@functools.partial(jax.jit, static_argnames=("s", "k", "w32", "use_pallas"))
-def _encode_full(data, s: int, k: int, w32: int, use_pallas: bool):
+#: Histogram sampling threshold and stride for table construction.  The
+#: histogram's ONLY consumer is code-length selection (per-lane sizes come
+#: from the encode pass and decode tables from the blob header), so on
+#: large blocks a strided sample chooses a statistically identical table
+#: at ~1/stride the cost: on the 16 MiB biased headline the exact
+#: histogram is 0.41 ms of a 1.09 ms encode (38 GiB/s kernel, VPU-bound
+#: on the one-hot compares) while a 1/8 sample costs ~0.06 ms and moves
+#: the ratio by < 0.01% (2 MiB of samples pins 256 symbol frequencies far
+#: below the code-length quantization noise).  Add-one smoothing
+#: guarantees every byte value a code, so round-trips stay exact even for
+#: symbols the sample missed.  The reference has no analog (its scalar
+#: histogram is ~free next to its encode loop); this tradeoff exists
+#: because the TPU encode kernel is fast enough that counting became the
+#: bottleneck.  `TpuCodec(hist_stride=1)` forces exact counting.
+_HIST_SAMPLE_MIN = 4 << 20
+_HIST_SAMPLE_STRIDE = 8
+_HIST_ROW = 512  # sampled run length (bytes); strided CONTIGUOUS rows
+#                  vectorize (a flat [::8] slice would shuffle lanes)
+
+
+def _table_hist(padded, hist_stride: int):
+    n = padded.shape[0]
+    if hist_stride <= 1 or n < _HIST_ROW * hist_stride:
+        return histogram256(padded)
+    rows = n // (_HIST_ROW * hist_stride)
+    sample = jax.lax.slice(
+        padded.reshape(-1, _HIST_ROW)[: rows * hist_stride],
+        (0, 0),
+        (rows * hist_stride, _HIST_ROW),
+        (hist_stride, 1),
+    ).reshape(-1)
+    return histogram256(sample) + 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s", "k", "w32", "use_pallas", "hist_stride")
+)
+def _encode_full(
+    data, s: int, k: int, w32: int, use_pallas: bool, hist_stride: int = 1
+):
     """Fully-device compress: histogram -> table -> encode -> pack."""
     pad = s * k - data.shape[0]
     padded = jnp.concatenate([data, jnp.zeros((pad,), jnp.uint8)])
-    hist = histogram256(padded)
+    hist = _table_hist(padded, hist_stride)
     t = build_coding_device(hist)
     words32, bit_counts = _encode_with_tables_body(
         padded, t["enc_table"], s, k, w32, use_pallas
@@ -314,8 +352,23 @@ def _decode_full(
 class TpuCodec:
     """Large-K transposed-payload codec.  Flagship performance path."""
 
-    def __init__(self, k: int | None = None):
+    def __init__(self, k: int | None = None, hist_stride: int | None = None):
+        """Args:
+          k: lane count (None = size heuristic, `default_lanes`).
+          hist_stride: table-construction histogram sampling.  None (auto)
+            counts every byte below 4 MiB and samples 1 byte row in 8
+            above (see `_table_hist`: the table is the histogram's only
+            consumer, round-trips stay exact, ratio moves < 0.01% on the
+            16 MiB headline while compress gains ~25%).  Pass 1 to force
+            exact counting at any size.
+        """
         self.k = k
+        self.hist_stride = hist_stride
+
+    def _hist_stride(self, n: int) -> int:
+        if self.hist_stride is not None:
+            return max(1, int(self.hist_stride))
+        return _HIST_SAMPLE_STRIDE if n >= _HIST_SAMPLE_MIN else 1
 
     def _lanes(self, n: int) -> int:
         return self.k if self.k is not None else default_lanes(n)
@@ -367,7 +420,9 @@ class TpuCodec:
             )
             t = tables
         else:
-            words32, bit_counts, t = _encode_full(data, s, k, w32, use_pallas)
+            words32, bit_counts, t = _encode_full(
+                data, s, k, w32, use_pallas, self._hist_stride(n)
+            )
         return TpuCompressed(
             words=words32, bit_counts=bit_counts, raw_size=n, k=k, tables=t
         )

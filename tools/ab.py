@@ -168,13 +168,16 @@ def _encode_variant(data, s, k, w32, overrides: dict):
     from huffman_tpu.models.tpu_codec import _encode_full
 
     use_pallas = overrides.get("pallas", 1) != 0
+    hist_stride = overrides.get("hist_stride", 1)
 
     def once(pert):
-        words32, bits, t = _encode_full(data + pert, s, k, w32, use_pallas)
+        words32, bits, t = _encode_full(
+            data + pert, s, k, w32, use_pallas, hist_stride
+        )
         return (jnp.sum(bits) + jnp.sum(t["enc_table"])).astype(jnp.float32)
 
     def output():
-        words32, bits, _ = _encode_full(data, s, k, w32, use_pallas)
+        words32, bits, _ = _encode_full(data, s, k, w32, use_pallas, hist_stride)
         return np.asarray(words32), np.asarray(bits)
 
     return once, output

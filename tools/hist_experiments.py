@@ -1,0 +1,158 @@
+"""Histogram kernel variants, raced same-session on the real chip.
+
+The production kernel (ops/lookup.py:_hist_pallas_kernel) is VPU-bound:
+32 compares + 2 casts per byte to build the nibble one-hots; the MXU
+contraction is ~2% of peak.  Variants probe cheaper one-hot builds:
+
+  base      — production kernel (i32 compares -> bf16 cast)
+  bf16cmp   — compare in bf16 directly (x, iota both bf16): if Mosaic
+              packs 16-bit lanes 2x, halves the compare cost
+  i8dot     — one-hot as int8, int8 x int8 -> int32 MXU contraction
+  f32cmp    — compare producing f32 one-hots, f32 dot (no bf16 cast)
+  wide      — 16 rows per matmul (fewer, larger dots)
+
+Usage: python tools/hist_experiments.py [n_mib]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from huffman_tpu.bench.harness import sustained_seconds
+from huffman_tpu.ops.lookup import histogram256
+from huffman_tpu.ops.pallas_util import sds_like
+
+CHUNK = 1 << 19
+ROWS = 8
+
+
+def make_kernel(variant):
+    c8 = CHUNK // ROWS
+
+    def kernel(x_ref, out_ref):
+        i = pl.program_id(0)
+        x = x_ref[0].astype(jnp.int32)
+        hi = x >> 4
+        lo = x & 15
+        if variant == "bf16cmp":
+            iota = jax.lax.broadcasted_iota(jnp.bfloat16, (16, c8), 0)
+            hi = hi.astype(jnp.bfloat16)
+            lo = lo.astype(jnp.bfloat16)
+        elif variant == "f32cmp":
+            iota = jax.lax.broadcasted_iota(jnp.float32, (16, c8), 0)
+            hi = hi.astype(jnp.float32)
+            lo = lo.astype(jnp.float32)
+        else:
+            iota = jax.lax.broadcasted_iota(jnp.int32, (16, c8), 0)
+        acc = jnp.zeros((16, 16), jnp.float32)
+        if variant == "i8dot":
+            acc = jnp.zeros((16, 16), jnp.int32)
+        step = 2 if variant == "wide" else 1
+        for r in range(0, ROWS, step):
+            if variant == "i8dot":
+                oh_hi = (hi[r : r + 1] == iota).astype(jnp.int8)
+                oh_lo = (lo[r : r + 1] == iota).astype(jnp.int8)
+                acc = acc + jax.lax.dot_general(
+                    oh_hi, oh_lo, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            elif variant in ("bf16cmp",):
+                oh_hi = (hi[r : r + 1] == iota).astype(jnp.bfloat16)
+                oh_lo = (lo[r : r + 1] == iota).astype(jnp.bfloat16)
+                acc = acc + jax.lax.dot_general(
+                    oh_hi, oh_lo, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            elif variant == "f32cmp":
+                oh_hi = (hi[r : r + 1] == iota).astype(jnp.float32)
+                oh_lo = (lo[r : r + 1] == iota).astype(jnp.float32)
+                acc = acc + jax.lax.dot_general(
+                    oh_hi, oh_lo, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            elif variant == "wide":
+                # two rows per dot: (2, c8) one-hots reshaped to
+                # (16, 2*c8)-style contraction via concat on the lane axis
+                oh_hi = (hi[r : r + 2][:, None, :] == iota[None, :, : c8]).astype(jnp.bfloat16)
+                oh_lo = (lo[r : r + 2][:, None, :] == iota[None, :, : c8]).astype(jnp.bfloat16)
+                a = jax.lax.dot_general(
+                    oh_hi.reshape(2 * 16, c8)[:16], oh_lo.reshape(2 * 16, c8)[:16],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                b = jax.lax.dot_general(
+                    oh_hi.reshape(2 * 16, c8)[16:], oh_lo.reshape(2 * 16, c8)[16:],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc + a + b
+            else:
+                oh_hi = (hi[r : r + 1] == iota).astype(jnp.bfloat16)
+                oh_lo = (lo[r : r + 1] == iota).astype(jnp.bfloat16)
+                acc = acc + jax.lax.dot_general(
+                    oh_hi, oh_lo, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        out_ref[:] += acc
+
+    return kernel
+
+
+def hist_variant(x_u8, variant):
+    n = x_u8.shape[0]
+    assert n % CHUNK == 0
+    x2 = x_u8.reshape(-1, ROWS, CHUNK // ROWS)
+    g = x2.shape[0]
+    odt = jnp.int32 if variant == "i8dot" else jnp.float32
+    out = pl.pallas_call(
+        make_kernel(variant),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ROWS, CHUNK // ROWS), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec((16, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=sds_like((16, 16), odt, x2),
+    )(x2)
+    return out.reshape(256).astype(jnp.int32)
+
+
+def main():
+    n = int(float(sys.argv[1]) * (1 << 20)) if len(sys.argv) > 1 else (16 << 20)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.integers(0, 256, n).astype(np.uint8))
+    ref = np.asarray(histogram256(data))
+
+    for v in ["base", "bf16cmp", "f32cmp", "i8dot", "wide"]:
+        try:
+            got = np.asarray(hist_variant(data, v))
+            ok = np.array_equal(got, ref)
+        except Exception as e:
+            print(f"{v:10s} FAILED: {str(e)[:120]}")
+            continue
+
+        def body(pert, v=v):
+            return jnp.sum(hist_variant(data + pert.astype(jnp.uint8), v)).astype(
+                jnp.float32
+            )
+
+        sec = sustained_seconds(body, reps=64, tries=3)
+        print(f"{v:10s} {'OK ' if ok else 'BAD'} {sec*1e3:8.3f} ms {n/sec/2**30:8.2f} GiB/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Stage split of the production encode pipeline on the real chip.
+
+Times, with the in-jit repetition harness (same methodology as bench.py):
+  hist   — histogram256 on the padded block
+  table  — build_coding_device given the histogram
+  kernel — _encode_with_tables_body given the table
+  full   — _encode_full (all three fused in one program)
+
+The sum of the parts can exceed `full` (XLA overlaps stages inside one
+program); the split bounds where per-block overhead lives vs the
+shared-table streaming path (which skips hist+table entirely).
+
+Usage: python tools/probe_encode_stages.py [n_mib]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from huffman_tpu.constants import MAX_CODE_LEN
+from huffman_tpu.bench.harness import sustained_seconds
+from huffman_tpu.models.tpu_codec import (
+    TpuCodec,
+    _encode_full,
+    _encode_with_tables_body,
+)
+from huffman_tpu.ops.lookup import histogram256
+from huffman_tpu.ops.table_build import build_coding_device
+
+
+def biased(n, seed=0):
+    rng = np.random.default_rng(seed)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    return rng.choice(256, size=n, p=p).astype(np.uint8)
+
+
+def main():
+    n = int(float(sys.argv[1]) * (1 << 20)) if len(sys.argv) > 1 else (16 << 20)
+    codec = TpuCodec()
+    k = codec._lanes(n)
+    s = -(-n // k)
+    w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
+    data = jnp.asarray(biased(n))
+    hist0 = histogram256(data)
+    t0 = build_coding_device(hist0)
+    enc_table = t0["enc_table"]
+    print(f"n={n} k={k} s={s} w32={w32}")
+
+    def t_hist(pert):
+        return jnp.sum(histogram256(data + pert.astype(jnp.uint8))).astype(
+            jnp.float32
+        )
+
+    def t_table(pert):
+        t = build_coding_device(hist0 + pert)
+        return jnp.sum(t["enc_table"]).astype(jnp.float32)
+
+    def t_kernel(pert):
+        w, b = _encode_with_tables_body(
+            data + pert.astype(jnp.uint8), enc_table, s, k, w32, True
+        )
+        return (jnp.sum(w) + jnp.sum(b)).astype(jnp.float32)
+
+    def t_full(pert):
+        w, b, t = _encode_full(data + pert.astype(jnp.uint8), s, k, w32, True)
+        return (jnp.sum(w) + jnp.sum(b) + jnp.sum(t["enc_table"])).astype(
+            jnp.float32
+        )
+
+    for name, fn in [
+        ("hist", t_hist),
+        ("table", t_table),
+        ("kernel", t_kernel),
+        ("full", t_full),
+    ]:
+        sec = sustained_seconds(fn, reps=64, tries=3)
+        print(f"{name:8s} {sec*1e3:8.3f} ms   {n/sec/2**30:8.2f} GiB/s")
+
+
+if __name__ == "__main__":
+    main()
