@@ -115,6 +115,7 @@ def _make_decode_kernel(
     dev_slots: int = 0,
     out_u8: bool = False,
     dyn_rounds: bool = False,
+    legacy_pack: bool = False,
 ):
     slots = -(-32 // group)
     T = t_rows
@@ -172,8 +173,18 @@ def _make_decode_kernel(
             c, c2 = carry
             cur = w_ref[w]
             nx = jnp.where(w + 1 < w_rows, w_ref[jnp.minimum(w + 1, w_rows - 1)], 0)
-            svals = [jnp.zeros(shape, _I32)] * slots
+            empty = jnp.full(shape, -1, _I32) if legacy_pack else jnp.zeros(shape, _I32)
+            svals = [empty] * slots
             rowbase = w * slots
+
+            def pack_ent(win, c2, sl):
+                # legacy_pack: pre-round-3 layout ((rank<<12)|win staged,
+                # repacked to disp-high in a stage-2 prologue).  Kept ONLY
+                # as the ab.py reference variant for the packed-in-scan
+                # rewrite; not reachable from production dispatch.
+                if legacy_pack:
+                    return (c2 << 12) | win
+                return ((win + 1) << db) | (rowbase + sl - c2)
 
             def full_at(j):
                 # Bits [j, j+12) end up in the top 12 after a later >> 20;
@@ -217,8 +228,7 @@ def _make_decode_kernel(
                     # Stage the packed form directly (disp = row - rank =
                     # rowbase + sl - c2): this deletes the former stage-2
                     # repacking pass over all T rows.
-                    ent = ((win + 1) << db) | (rowbase + sl - c2)
-                    svals[sl] = jnp.where(boundary, ent, svals[sl])
+                    svals[sl] = jnp.where(boundary, pack_ent(win, c2, sl), svals[sl])
                     c = jnp.where(boundary, ln - 1, c - 1)
                     c2 = c2 + boundary.astype(_I32)
             else:
@@ -249,8 +259,7 @@ def _make_decode_kernel(
                         ln = parts[0]
                         for t in parts[1:]:
                             ln = ln + t
-                    ent = ((win + 1) << db) | (rowbase + sl - c2)
-                    svals[sl] = jnp.where(bany, ent, svals[sl])
+                    svals[sl] = jnp.where(bany, pack_ent(win, c2, sl), svals[sl])
                     # Boundary at offset c: after it the countdown is
                     # ln - 1, minus the (wd - 1 - c) bits left in the
                     # group  =>  ln + c - wd.  No boundary: c - wd.
@@ -265,8 +274,9 @@ def _make_decode_kernel(
         )
 
         def zero_rows(w, _):
+            fill = jnp.full(shape, -1, _I32) if legacy_pack else jnp.zeros(shape, _I32)
             for sl in range(slots):
-                st_ref[w * slots + sl] = jnp.zeros(shape, _I32)
+                st_ref[w * slots + sl] = fill
             return 0
 
         jax.lax.fori_loop(w_stop, w_rows, zero_rows, 0)
@@ -274,6 +284,64 @@ def _make_decode_kernel(
         if debug_stages <= 1:  # perf probe: scan only
             out_ref[:] = st_ref[:out_len]
             return
+
+        # ---- Stage 3 (shared): length, rank, symbol ----
+        # Lane gathers cost ~50 elementwise ops each, so both small-table
+        # lookups are strength-reduced: g_rank[lw] unrolls into the compare
+        # loop (the indicators [code >= E[l]] are exactly the prefix form
+        # [l < lw], so the cumulative table telescopes into scalar deltas),
+        # and the 256-entry rank->symbol table becomes ONE gather of
+        # byte-packed pairs plus a parity select.
+        def _stage3(codes):
+            lw = jnp.ones(codes.shape, _I32)
+            g = jnp.full(codes.shape, scal_ref[0, 17], _I32)  # g_rank[1]
+            for l, m in spec:
+                ind = codes >= scal_ref[0, l]
+                lw = lw + (ind.astype(_I32) if m == 1 else jnp.where(ind, m, 0))
+                # Run l..l+m-1 shares one indicator; the telescoping g_rank
+                # deltas over the run combine into one span delta.
+                g = g + jnp.where(
+                    ind, scal_ref[0, 16 + l + m] - scal_ref[0, 16 + l], 0
+                )
+            flat_rows = out_len * blk
+            lw2 = lw.reshape(flat_rows, 128)
+            # Arithmetic shift keeps empty-row codes (-1) negative so the
+            # clip lands them on rank 0 (degenerate single-symbol handling).
+            rank = (codes.reshape(flat_rows, 128) >> (MAX_CODE_LEN - lw2)) + (
+                g.reshape(flat_rows, 128)
+            )
+            rank = jnp.clip(rank, 0, 255)
+
+            if syms_identity:
+                # Monotone-frequency sources (freq non-increasing in symbol
+                # value — e.g. the reference's biased generator and sorted
+                # data) canonicalize to sorted_syms == identity, so
+                # rank -> symbol needs NO lookup at all.  Detected
+                # host-side; saves one lane gather (~50 elementwise-op
+                # equivalents) per emitted symbol row.
+                out_ref[:] = _store(rank.reshape(out_len, blk, 128))
+            elif dev_slots:
+                # NEAR-identity sources (empirical counts of a monotone
+                # distribution fluctuate at the rare tail — the 16 MiB
+                # biased headline has 7 swapped ranks carrying ~6e-6 of the
+                # mass): rank -> symbol = identity plus a handful of
+                # corrections, sym = rank + sum_i [rank == r_i] * d_i.  The
+                # (r_i, d_i) ride in SMEM scalars (scal[32:], pad rank -1
+                # never matches a clipped rank), so every deviation PATTERN
+                # shares one compiled program — only the {<=4, <=8} bucket
+                # is static.  dev_slots * ~3 ops beats the ~50-op lane
+                # gather.
+                sym = rank
+                for i in range(dev_slots):
+                    sym = sym + jnp.where(
+                        rank == scal_ref[0, 32 + i], scal_ref[0, 48 + i], 0
+                    )
+                out_ref[:] = _store(sym.reshape(out_len, blk, 128))
+            else:
+                pairs = jnp.broadcast_to(syms_ref[0:1, :], (flat_rows, 128))
+                v = jnp.take_along_axis(pairs, rank >> 1, axis=1)
+                sym = jnp.where((rank & 1) == 1, v >> 8, v) & 0xFF
+                out_ref[:] = _store(sym.reshape(out_len, blk, 128))
 
         # ---- Stage 2: stable per-lane compaction (displacement rounds) ----
         # The scan staged entries in the packed form already ((win+1)<<db
@@ -285,6 +353,43 @@ def _make_decode_kernel(
         # >= out_len), bounding NEEDED displacements at T - out_len + 1:
         # rounds stop there, not log2(T).
         d_max = d_max_static
+        if legacy_pack:
+            # Pre-round-3 stage 2 (ab.py reference variant): repack the
+            # (rank<<12)|win staging to disp<<13 | (win+1), full-height
+            # rounds, no trim.
+            staged = st_ref[:T]
+            valid = staged >= 0
+            row = jax.lax.broadcasted_iota(_I32, staged.shape, 0)
+            disp = row - (staged >> 12)
+            st_ref[:T] = jnp.where(
+                valid, (disp << 13) | ((staged & 0x0FFF) + 1), 0
+            )
+            if pad:
+                st_ref[T : T + pad] = jnp.zeros((pad, blk, 128), _I32)
+                st2_ref[T : T + pad] = jnp.zeros((pad, blk, 128), _I32)
+
+            def lround_(src, dst, sh):
+                base = src[:T]
+                xs = src[sh : sh + T]
+                arrive = ((xs >> 13) & sh) != 0
+                stay = ((base >> 13) & sh) == 0
+                dst[:T] = jnp.where(
+                    arrive, xs - (sh << 13), jnp.where(stay, base, 0)
+                )
+
+            bufs = (st_ref, st2_ref)
+            cur = 0
+            sh = 1
+            while sh <= d_max:
+                lround_(bufs[cur], bufs[cur ^ 1], sh)
+                cur ^= 1
+                sh <<= 1
+            codes = (bufs[cur][:out_len] & 0x1FFF) - 1
+            if debug_stages <= 2:
+                out_ref[:] = codes
+                return
+            _stage3(codes)
+            return
         # Ping-pong between the two (padded) scratch buffers: each round
         # reads the base rows and a statically shifted slice — no rolls,
         # no wrap masking (the pad rows are zero and stay zero).
@@ -381,59 +486,7 @@ def _make_decode_kernel(
             out_ref[:] = codes
             return
 
-        # ---- Stage 3: length, rank, symbol ----
-        # Lane gathers cost ~50 elementwise ops each, so both small-table
-        # lookups are strength-reduced: g_rank[lw] unrolls into the compare
-        # loop (the indicators [code >= E[l]] are exactly the prefix form
-        # [l < lw], so the cumulative table telescopes into scalar deltas),
-        # and the 256-entry rank->symbol table becomes ONE gather of
-        # byte-packed pairs plus a parity select.
-        lw = jnp.ones(codes.shape, _I32)
-        g = jnp.full(codes.shape, scal_ref[0, 17], _I32)  # g_rank[1]
-        for l, m in spec:
-            ind = codes >= scal_ref[0, l]
-            lw = lw + (ind.astype(_I32) if m == 1 else jnp.where(ind, m, 0))
-            # Run l..l+m-1 shares one indicator; the telescoping g_rank
-            # deltas over the run combine into one span delta.
-            g = g + jnp.where(ind, scal_ref[0, 16 + l + m] - scal_ref[0, 16 + l], 0)
-        flat_rows = out_len * blk
-        lw2 = lw.reshape(flat_rows, 128)
-        # Arithmetic shift keeps empty-row codes (-1) negative so the clip
-        # lands them on rank 0 (degenerate single-symbol handling).
-        rank = (codes.reshape(flat_rows, 128) >> (MAX_CODE_LEN - lw2)) + g.reshape(
-            flat_rows, 128
-        )
-        rank = jnp.clip(rank, 0, 255)
-
-        if syms_identity:
-            # Monotone-frequency sources (freq non-increasing in symbol
-            # value — e.g. the reference's biased generator and sorted
-            # data) canonicalize to sorted_syms == identity, so
-            # rank -> symbol needs NO lookup at all.  Detected host-side;
-            # saves one lane gather (~50 elementwise-op equivalents) per
-            # emitted symbol row.
-            out_ref[:] = _store(rank.reshape(out_len, blk, 128))
-        elif dev_slots:
-            # NEAR-identity sources (empirical counts of a monotone
-            # distribution fluctuate at the rare tail — the 16 MiB biased
-            # headline has 7 swapped ranks carrying ~6e-6 of the mass):
-            # rank -> symbol = identity plus a handful of corrections,
-            # sym = rank + sum_i [rank == r_i] * d_i.  The (r_i, d_i)
-            # ride in SMEM scalars (scal[32:], pad rank -1 never matches
-            # a clipped rank), so every deviation PATTERN shares one
-            # compiled program — only the {<=4, <=8} bucket is static.
-            # dev_slots * ~3 ops beats the ~50-op lane gather.
-            sym = rank
-            for i in range(dev_slots):
-                sym = sym + jnp.where(
-                    rank == scal_ref[0, 32 + i], scal_ref[0, 48 + i], 0
-                )
-            out_ref[:] = _store(sym.reshape(out_len, blk, 128))
-        else:
-            pairs = jnp.broadcast_to(syms_ref[0:1, :], (flat_rows, 128))
-            v = jnp.take_along_axis(pairs, rank >> 1, axis=1)
-            sym = jnp.where((rank & 1) == 1, v >> 8, v) & 0xFF
-            out_ref[:] = _store(sym.reshape(out_len, blk, 128))
+        _stage3(codes)
 
     return kernel
 
@@ -442,7 +495,7 @@ def _make_decode_kernel(
     jax.jit,
     static_argnames=(
         "group", "out_len", "blk", "scan", "spec", "debug_stages",
-        "syms_identity", "dev_slots", "out_u8", "dyn_rounds",
+        "syms_identity", "dev_slots", "out_u8", "dyn_rounds", "legacy_pack",
     ),
 )
 def decode_bitserial_pallas(
@@ -462,6 +515,7 @@ def decode_bitserial_pallas(
     dev_rd=None,
     out_u8: bool = False,
     dyn_rounds: bool = False,
+    legacy_pack: bool = False,
     step_words=None,
 ):
     """Fused TPU decode.
@@ -510,7 +564,7 @@ def decode_bitserial_pallas(
         assert debug_stages == 3, "u8 output only for the full kernel"
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
-        syms_identity, dev_slots, out_u8, dyn_rounds,
+        syms_identity, dev_slots, out_u8, dyn_rounds, legacy_pack,
     )
     d_max = max(t_rows - out_len + 1, 0)
     pad = _compaction_pad(d_max)

@@ -332,3 +332,40 @@ def test_decode_kernel_per_step_word_stop():
             words, eb, gr, sy, group=group, out_len=s, step_words=step_words
         )
     np.testing.assert_array_equal(np.asarray(full), np.asarray(stopped))
+
+
+@pytest.mark.parametrize("style", ["biased", "uniform"])
+def test_decode_kernel_legacy_pack_matches(style):
+    """The legacy_pack A/B reference variant (pre-round-3 staging layout +
+    repack prologue + untrimmed rounds) stays bit-identical to the
+    production packed-in-scan kernel."""
+    k, s = 1024, 32
+    data, cc, enc_table, t, b2 = _setup(style=style, k=k, s=s)
+    valid = jnp.ones((s, k), bool)
+    w16, wc, bits = encode_lanes(b2, valid, enc_table)
+    from huffman_tpu.constants import MAX_CODE_LEN
+
+    w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
+    w16p = jnp.concatenate(
+        [w16, jnp.zeros((2 * w32c - w16.shape[0], k), w16.dtype)]
+    )
+    words32 = pack_u16_words_to_u32(w16p, jnp.minimum(wc, 2 * w32c))
+    w = int((np.asarray(bits).max() + 31) // 32)
+    words = jnp.asarray(np.asarray(words32[:w]))
+    group = max(1, min(t["l_min"], 32))
+    eb, gr, sy = (
+        jnp.asarray(t["e_bound"]),
+        jnp.asarray(t["g_rank"]),
+        jnp.asarray(t["syms"]),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out_new = decode_bitserial_pallas(
+            words.reshape(w, k // 128, 128), eb, gr, sy, group=group, out_len=s
+        )
+        out_leg = decode_bitserial_pallas(
+            words.reshape(w, k // 128, 128), eb, gr, sy, group=group,
+            out_len=s, legacy_pack=True,
+        )
+    np.testing.assert_array_equal(np.asarray(out_new), np.asarray(out_leg))
+    got = np.asarray(out_leg).reshape(s, k).astype(np.uint8).T.reshape(-1)
+    np.testing.assert_array_equal(got, data)
