@@ -172,10 +172,12 @@ def _table_hist(padded, hist_stride: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("s", "k", "w32", "use_pallas", "hist_stride")
+    jax.jit,
+    static_argnames=("s", "k", "w32", "use_pallas", "hist_stride", "enc_flags"),
 )
 def _encode_full(
-    data, s: int, k: int, w32: int, use_pallas: bool, hist_stride: int = 1
+    data, s: int, k: int, w32: int, use_pallas: bool, hist_stride: int = 1,
+    enc_flags: tuple = (),
 ):
     """Fully-device compress: histogram -> table -> encode -> pack."""
     pad = s * k - data.shape[0]
@@ -183,12 +185,14 @@ def _encode_full(
     hist = _table_hist(padded, hist_stride)
     t = build_coding_device(hist)
     words32, bit_counts = _encode_with_tables_body(
-        padded, t["enc_table"], s, k, w32, use_pallas
+        padded, t["enc_table"], s, k, w32, use_pallas, enc_flags
     )
     return words32, bit_counts, t
 
 
-def _encode_with_tables_body(padded, enc_table, s, k, w32, use_pallas):
+def _encode_with_tables_body(
+    padded, enc_table, s, k, w32, use_pallas, enc_flags: tuple = ()
+):
     # Strided lane mapping: byte i -> lane i % k, row i // k.  Unlike
     # contiguous chunks, every lane samples the whole block, so per-lane
     # bit counts stay near the mean even on locally skewed data (sorted
@@ -196,7 +200,11 @@ def _encode_with_tables_body(padded, enc_table, s, k, w32, use_pallas):
     # ~average, and the (s, k) view needs no physical transpose.
     b2 = padded.reshape(s, k).astype(jnp.int32)
     if use_pallas:
-        w3, bits3 = encode_lanes_pallas(b2.reshape(s, k // 128, 128), enc_table)
+        # enc_flags: static (key, value) pairs forwarded to the Pallas
+        # kernel (place_v2 / mxu_prefix) — ab.py variant plumbing.
+        w3, bits3 = encode_lanes_pallas(
+            b2.reshape(s, k // 128, 128), enc_table, **dict(enc_flags)
+        )
         words16 = w3.reshape(w3.shape[0], k)
         bit_counts = bits3.reshape(k)
         word_counts = (bit_counts + 15) >> 4

@@ -74,20 +74,79 @@ def _or_place_kernel(piece, disp, t_rows):
     return (packed & 0xFFFF)[:t_rows]
 
 
-def _make_encode_kernel(s_rows: int, t_rows: int):
+def _or_place_kernel_v2(piece, disp, t_rows):
+    """Placement with the decode-kernel round tricks: displacement in the
+    LOW bits (each round tests/clears its bit with ``& sh`` / ``- sh`` —
+    no shifts on the merge path) and static height trim (every piece
+    targets a word < t_rows, so before round i it sits at row
+    < t_rows + sum(remaining shifts); later rounds write only that many
+    rows).  Merge semantics are identical to :func:`_or_place_kernel` —
+    the OR combines the piece fields of co-located entries and the disp
+    fields only ever OR at equal values — so outputs are bit-identical.
+    """
+    T = piece.shape[0]
+    db = max((T - 1).bit_length(), 1)
+    shifts = []
+    sh = 1
+    while sh < T:
+        shifts.append(sh)
+        sh <<= 1
+    heights = [0] * len(shifts)
+    rem = 0
+    for i in range(len(shifts) - 1, -1, -1):
+        heights[i] = min(T, t_rows + rem)
+        rem += shifts[i]
+    packed = (piece << db) | disp
+    zrow = jnp.zeros((1,) + piece.shape[1:], _I32)
+    for sh, h in zip(shifts, heights):
+        base = packed[:h]
+        cur = packed.shape[0]
+        if sh + h <= cur:
+            xs = packed[sh : sh + h]
+        else:
+            xs = jnp.concatenate(
+                [packed[sh:cur]] + [zrow] * (sh + h - cur), axis=0
+            )
+        arrive = (xs & sh) != 0
+        stay = (base & sh) == 0
+        packed = jnp.where(arrive, xs - sh, 0) | jnp.where(stay, base, 0)
+    return (packed >> db)[:t_rows]
+
+
+def _make_encode_kernel(
+    s_rows: int, t_rows: int, place_v2: bool = False, mxu_prefix: bool = False
+):
     S = s_rows
+    place = _or_place_kernel_v2 if place_v2 else _or_place_kernel
 
     def kernel(b_ref, tab_ref, words_ref, bits_ref):
         idx = b_ref[:]  # (S, BLK, 128) int32 byte values
         entries = _lookup256_lanes(idx, tab_ref)
         lens = entries & 15
 
-        # Inclusive prefix sum of lens along rows.
-        ends = lens
-        sh = 1
-        while sh < S:
-            ends = ends + _shift_up(ends, sh)
-            sh <<= 1
+        if mxu_prefix:
+            # Inclusive prefix as a lower-triangular matmul: lens <= 15 is
+            # bf16-exact, the 0/1 triangle is exact, and the MXU
+            # accumulates in f32 (sums <= 15*256 < 2^24), so the result is
+            # the exact integer prefix — while the log-round VPU
+            # shift-add chain (7 rounds x ~4 ops x S rows) moves off the
+            # VPU, which the placement rounds saturate, onto the
+            # otherwise-idle MXU.
+            lensf = lens.reshape(S, _BLK * 128).astype(jnp.bfloat16)
+            r_i = jax.lax.broadcasted_iota(_I32, (S, S), 0)
+            c_i = jax.lax.broadcasted_iota(_I32, (S, S), 1)
+            tri = (r_i >= c_i).astype(jnp.bfloat16)
+            ends = jax.lax.dot_general(
+                tri, lensf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(_I32).reshape(S, _BLK, 128)
+        else:
+            # Inclusive prefix sum of lens along rows.
+            ends = lens
+            sh = 1
+            while sh < S:
+                ends = ends + _shift_up(ends, sh)
+                sh <<= 1
         bits_ref[:] = ends[S - 1]
         offs = ends - lens
 
@@ -98,7 +157,7 @@ def _make_encode_kernel(s_rows: int, t_rows: int):
 
         pieceA = (cv >> shv) & 0xFFFF
         dispA = row - w0
-        wordsA = _or_place_kernel(pieceA, dispA, t_rows)
+        wordsA = place(pieceA, dispA, t_rows)
 
         # Spills live one row later than their source byte (so displacement
         # stays nonnegative); a real extra row is required — the last
@@ -109,15 +168,17 @@ def _make_encode_kernel(s_rows: int, t_rows: int):
         wB = jnp.concatenate([zrow, w0 + 1], axis=0)
         rowB = jax.lax.broadcasted_iota(_I32, (S + 1, _BLK, 128), 0)
         dispB = jnp.where(rowB >= 1, rowB - wB, 0)
-        wordsB = _or_place_kernel(pieceB, dispB, t_rows)
+        wordsB = place(pieceB, dispB, t_rows)
 
         words_ref[:] = wordsA | wordsB
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=())
-def encode_lanes_pallas(byte3, enc_table):
+@functools.partial(jax.jit, static_argnames=("place_v2", "mxu_prefix"))
+def encode_lanes_pallas(
+    byte3, enc_table, *, place_v2: bool = False, mxu_prefix: bool = False
+):
     """Fused TPU encode.
 
     Args:
@@ -140,7 +201,7 @@ def encode_lanes_pallas(byte3, enc_table):
         [(flat[0::2] | (flat[1::2] << 16)).reshape(1, 128), jnp.zeros((1, 128), _I32)]
     )
 
-    kernel = _make_encode_kernel(S, t_rows)
+    kernel = _make_encode_kernel(S, t_rows, place_v2, mxu_prefix)
     words, bits = pl.pallas_call(
         kernel,
         grid=(KR // _BLK,),

@@ -46,13 +46,16 @@ def _setup_from(data, k, s):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("style", ["biased", "uniform"])
-def test_encode_kernel_matches_xla(style):
+@pytest.mark.parametrize("flags", [{}, {"place_v2": True, "mxu_prefix": True}])
+def test_encode_kernel_matches_xla(style, flags):
     k, s = 1024, 32
     data, cc, enc_table, t, b2 = _setup(style=style, k=k, s=s)
     valid = jnp.ones((s, k), bool)
     w_ref, wc_ref, bits_ref = encode_lanes(b2, valid, enc_table)
     with pltpu.force_tpu_interpret_mode():
-        w_p, bits_p = encode_lanes_pallas(b2.reshape(s, k // 128, 128), enc_table)
+        w_p, bits_p = encode_lanes_pallas(
+            b2.reshape(s, k // 128, 128), enc_table, **flags
+        )
     w_p2 = np.asarray(w_p).reshape(w_p.shape[0], k)
     rows = min(w_p2.shape[0], np.asarray(w_ref).shape[0])
     np.testing.assert_array_equal(

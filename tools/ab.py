@@ -169,15 +169,21 @@ def _encode_variant(data, s, k, w32, overrides: dict):
 
     use_pallas = overrides.get("pallas", 1) != 0
     hist_stride = overrides.get("hist_stride", 1)
+    enc_flags = tuple(
+        (kk, bool(vv)) for kk, vv in overrides.items()
+        if kk in ("place_v2", "mxu_prefix")
+    )
 
     def once(pert):
         words32, bits, t = _encode_full(
-            data + pert, s, k, w32, use_pallas, hist_stride
+            data + pert, s, k, w32, use_pallas, hist_stride, enc_flags
         )
         return (jnp.sum(bits) + jnp.sum(t["enc_table"])).astype(jnp.float32)
 
     def output():
-        words32, bits, _ = _encode_full(data, s, k, w32, use_pallas, hist_stride)
+        words32, bits, _ = _encode_full(
+            data, s, k, w32, use_pallas, hist_stride, enc_flags
+        )
         return np.asarray(words32), np.asarray(bits)
 
     return once, output
