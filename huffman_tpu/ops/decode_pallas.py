@@ -116,12 +116,22 @@ def _make_decode_kernel(
     out_u8: bool = False,
     dyn_rounds: bool = False,
     legacy_pack: bool = False,
+    fuse_r1: bool = False,
+    fuse_s3: bool = False,
 ):
     slots = -(-32 // group)
     T = t_rows
     shape = (blk, 128)
     d_max_static = max(T - out_len + 1, 0)
     pad = _compaction_pad(d_max_static)
+    # fuse_r1: apply compaction round 1 (sh=1) inside the scan's slot
+    # stores — each staged row is merged with its successor in registers
+    # before it ever reaches VMEM, deleting round 1's read+read+write
+    # pass (heights[0] = T rows, the tallest round).  The last slot of a
+    # word needs the NEXT word's first slot, so stores lag one row: word
+    # w stores merged rows [w*slots - 1, w*slots + slots - 2] and carries
+    # its last slot value.
+    r1 = fuse_r1 and d_max_static >= 1 and not legacy_pack
     # Staged-entry layout: (win + 1) << db | disp, invalid rows 0.  The
     # displacement sits in the LOW bits so each compaction round tests
     # and clears its bit with `& sh` / `- sh` — no shifts on the merge
@@ -148,6 +158,15 @@ def _make_decode_kernel(
             scan_spec.append((l, cnt))
 
     def kernel(scal_ref, wstop_ref, w_ref, syms_ref, out_ref, st_ref, st2_ref):
+        def merge1(base, xs):
+            # Compaction round sh=1 on register values: an entry one row
+            # above (xs) with displacement bit 0 set arrives; an entry in
+            # place (base) with bit 0 set leaves.  Zero rows are
+            # invariant (both operands' bit 0 clear -> stay keeps base).
+            arrive = (xs & 1) != 0
+            stay = (base & 1) == 0
+            return jnp.where(arrive, xs - 1, jnp.where(stay, base, 0))
+
         def _store(x):
             # u8 output quarters the HBM write (S*K bytes instead of
             # S*K*4) and turns the XLA post-pass astype into a reshape.
@@ -170,7 +189,7 @@ def _make_decode_kernel(
         # compaction below needs no separate rank prefix pass; empty slots
         # stay -1.
         def row_step(w, carry):
-            c, c2 = carry
+            c, c2 = carry[:2]
             cur = w_ref[w]
             nx = jnp.where(w + 1 < w_rows, w_ref[jnp.minimum(w + 1, w_rows - 1)], 0)
             empty = jnp.full(shape, -1, _I32) if legacy_pack else jnp.zeros(shape, _I32)
@@ -265,13 +284,27 @@ def _make_decode_kernel(
                     # group  =>  ln + c - wd.  No boundary: c - wd.
                     c = jnp.where(bany, ln + c, c) - wd
                     c2 = c2 + bany.astype(_I32)
+            if r1:
+                # Row w*slots-1 = merge(prev word's last slot, this
+                # word's first).  At w=0 the clamped index 0 is written
+                # with a dummy and immediately overwritten by the true
+                # row-0 merge below (stores execute in program order).
+                st_ref[jnp.maximum(w * slots - 1, 0)] = merge1(carry[2], svals[0])
+                for sl in range(slots - 1):
+                    st_ref[w * slots + sl] = merge1(svals[sl], svals[sl + 1])
+                return (c, c2, svals[slots - 1])
             for sl in range(slots):
                 st_ref[w * slots + sl] = svals[sl]
             return (c, c2)
 
-        jax.lax.fori_loop(
-            0, w_stop, row_step, (jnp.zeros(shape, _I32), jnp.zeros(shape, _I32))
-        )
+        init = (jnp.zeros(shape, _I32), jnp.zeros(shape, _I32))
+        if r1:
+            init = init + (jnp.zeros(shape, _I32),)
+        fin = jax.lax.fori_loop(0, w_stop, row_step, init)
+        if r1:
+            # The deferred last slot of word w_stop-1 merges with row
+            # w_stop*slots = 0 (zero-filled or pad).
+            st_ref[w_stop * slots - 1] = merge1(fin[2], jnp.zeros(shape, _I32))
 
         def zero_rows(w, _):
             fill = jnp.full(shape, -1, _I32) if legacy_pack else jnp.zeros(shape, _I32)
@@ -434,12 +467,28 @@ def _make_decode_kernel(
             dst[:h] = jnp.where(arrive, xs - sh, jnp.where(stay, base, 0))
 
         if not dyn_rounds:
+            # fuse_r1 already ran round sh=1 inside the scan's stores.
+            rs = shifts[1:] if r1 else shifts
+            rh = heights[1:] if r1 else heights
+            # fuse_s3: the last round's merged rows feed stage 3 as a
+            # register value instead of a store + re-read of out_len rows
+            # (heights[-1] == out_len exactly, so nothing else reads it).
+            s3 = fuse_s3 and debug_stages == 3 and len(rs) > 0
             bufs = (st_ref, st2_ref)
             cur = 0
-            for i, sh in enumerate(shifts):
-                round_(bufs[cur], bufs[cur ^ 1], sh, heights[i])
+            for i, sh in enumerate(rs[:-1] if s3 else rs):
+                round_(bufs[cur], bufs[cur ^ 1], sh, rh[i])
                 cur ^= 1
-            final = bufs[cur][:out_len]
+            if s3:
+                sh = rs[-1]
+                src = bufs[cur]
+                base = src[:out_len]
+                xs = src[sh : sh + out_len]
+                arrive = (xs & sh) != 0
+                stay = (base & sh) == 0
+                final = jnp.where(arrive, xs - sh, jnp.where(stay, base, 0))
+            else:
+                final = bufs[cur][:out_len]
         else:
             # Dynamic round count: THIS grid step's displacements are
             # bounded by w_stop*slots - out_len + 1 (the static d_max
@@ -496,6 +545,7 @@ def _make_decode_kernel(
     static_argnames=(
         "group", "out_len", "blk", "scan", "spec", "debug_stages",
         "syms_identity", "dev_slots", "out_u8", "dyn_rounds", "legacy_pack",
+        "fuse_r1", "fuse_s3",
     ),
 )
 def decode_bitserial_pallas(
@@ -516,6 +566,8 @@ def decode_bitserial_pallas(
     out_u8: bool = False,
     dyn_rounds: bool = False,
     legacy_pack: bool = False,
+    fuse_r1: bool = False,
+    fuse_s3: bool = False,
     step_words=None,
 ):
     """Fused TPU decode.
@@ -562,9 +614,14 @@ def decode_bitserial_pallas(
         step_words = jnp.full((n_steps,), W, _I32)
     if out_u8:
         assert debug_stages == 3, "u8 output only for the full kernel"
+    if fuse_r1 or fuse_s3:
+        assert not dyn_rounds and not legacy_pack, (
+            "fuse_r1/fuse_s3 are static-round-schedule variants"
+        )
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
         syms_identity, dev_slots, out_u8, dyn_rounds, legacy_pack,
+        fuse_r1, fuse_s3,
     )
     d_max = max(t_rows - out_len + 1, 0)
     pad = _compaction_pad(d_max)

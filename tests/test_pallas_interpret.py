@@ -372,3 +372,53 @@ def test_decode_kernel_legacy_pack_matches(style):
     np.testing.assert_array_equal(np.asarray(out_new), np.asarray(out_leg))
     got = np.asarray(out_leg).reshape(s, k).astype(np.uint8).T.reshape(-1)
     np.testing.assert_array_equal(got, data)
+
+
+@pytest.mark.parametrize("style", ["biased", "uniform"])
+@pytest.mark.parametrize(
+    "flags",
+    [
+        {"fuse_r1": True},
+        {"fuse_s3": True},
+        {"fuse_r1": True, "fuse_s3": True},
+    ],
+    ids=["r1", "s3", "r1+s3"],
+)
+def test_decode_kernel_fused_round_variants(style, flags):
+    """fuse_r1 (round 1 merged into the scan's slot stores) and fuse_s3
+    (final round fed to stage 3 as a register value) must stay
+    bit-identical to the production round schedule."""
+    k, s = 1024, 32
+    data, cc, enc_table, t, b2 = _setup(style=style, k=k, s=s)
+    valid = jnp.ones((s, k), bool)
+    w16, wc, bits = encode_lanes(b2, valid, enc_table)
+    from huffman_tpu.constants import MAX_CODE_LEN
+
+    w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
+    w16p = jnp.concatenate(
+        [w16, jnp.zeros((2 * w32c - w16.shape[0], k), w16.dtype)]
+    )
+    words32 = pack_u16_words_to_u32(w16p, jnp.minimum(wc, 2 * w32c))
+    w = int((np.asarray(bits).max() + 31) // 32)
+    words = jnp.asarray(np.asarray(words32[:w]))
+    group = max(1, min(t["l_min"], 32))
+    eb, gr, sy = (
+        jnp.asarray(t["e_bound"]),
+        jnp.asarray(t["g_rank"]),
+        jnp.asarray(t["syms"]),
+    )
+    # Also exercise the per-step dynamic scan stop with fuse_r1: the
+    # deferred last-slot store happens at the DYNAMIC w_stop boundary.
+    bc = np.asarray(bits).reshape(-1, 8 * 128).max(axis=1)
+    step_words = jnp.asarray((bc + 31) // 32, jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out_ref = decode_bitserial_pallas(
+            words.reshape(w, k // 128, 128), eb, gr, sy, group=group, out_len=s
+        )
+        out_f = decode_bitserial_pallas(
+            words.reshape(w, k // 128, 128), eb, gr, sy, group=group,
+            out_len=s, step_words=step_words, **flags,
+        )
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_f))
+    got = np.asarray(out_f).reshape(s, k).astype(np.uint8).T.reshape(-1)
+    np.testing.assert_array_equal(got, data)
