@@ -268,6 +268,45 @@ def _tree_kernel(cd_ref, n_ref, lc_ref, a_ref, i_ref):
 
     lax.fori_loop(0, 64, lc_step, 0)
 
+    # Kraft repair (MiniZ method, huffman.cpp:294-327) fused in: the XLA
+    # while_loop formulation (_limit_len_count) costs ~µs per demotion in
+    # loop dispatch — 16-34 iterations on the biased headline — while the
+    # same scalar loop on SMEM runs at machine speed.  Semantics are
+    # identical: dump over-long counts into MAX_CODE_LEN, then demote one
+    # max-length code and split the longest shorter code until the Kraft
+    # sum is exact.
+    def mv(d, acc):
+        v = lc_ref[0, d]
+        lc_ref[0, d] = 0
+        return acc + v
+
+    over = lax.fori_loop(MAX_CODE_LEN + 1, 64, mv, jnp.int32(0))
+    lc_ref[0, MAX_CODE_LEN] = lc_ref[0, MAX_CODE_LEN] + over
+
+    kraft = lax.fori_loop(
+        0,
+        MAX_CODE_LEN + 1,
+        lambda d, acc: acc + (lc_ref[0, d] << (MAX_CODE_LEN - d)),
+        jnp.int32(0),
+    )
+    one = jnp.int32(1) << MAX_CODE_LEN
+
+    def repair(kraft):
+        lc_ref[0, MAX_CODE_LEN] = lc_ref[0, MAX_CODE_LEN] - 1
+        # Largest j < MAX_CODE_LEN with lc[j] > 0 (0 when none, matching
+        # _limit_len_count's clip — unreachable while kraft > one).
+        j = lax.fori_loop(
+            0,
+            MAX_CODE_LEN,
+            lambda d, jj: jnp.where(lc_ref[0, d] > 0, d, jj),
+            jnp.int32(0),
+        )
+        lc_ref[0, j] = lc_ref[0, j] - 1
+        lc_ref[0, j + 1] = lc_ref[0, j + 1] + 2
+        return kraft - 1
+
+    lax.while_loop(lambda kf: kf > one, repair, kraft)
+
 
 def _huffman_len_count_pallas(counts_desc, num_syms):
     """Pallas scalar-core tree build (single table; ~20-60 µs vs ~2 ms)."""
@@ -347,10 +386,13 @@ def build_coding_device(hist, serial_tree: bool | None = None):
     if serial_tree:
         # Scalar-core Pallas build: ~30x faster for a single table, but
         # serial — batched/vmapped callers use the dense one-hot form.
+        # The kernel also fuses the Kraft length-limit repair (its XLA
+        # while_loop costs ~µs per demotion as a separate program).
         raw = _huffman_len_count_pallas(counts_desc, num_syms)
+        len_count = raw[: MAX_CODE_LEN + 1].astype(_I32)
     else:
         raw = _huffman_len_count(counts_desc, num_syms)
-    len_count = _limit_len_count(raw)
+        len_count = _limit_len_count(raw)
 
     # After limiting, lengths still ascend as frequency descends, so the
     # freq-sorted symbol order IS the canonical wire order (see

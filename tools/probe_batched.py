@@ -1,0 +1,149 @@
+"""Localize the batched-encode scaling cliff (VERDICT r2 weakness 4).
+
+benchmarks/streaming.json shows the batched 100 KiB curve regressing past
+B=64 (11.84 GiB/s @64 -> 7.98 @160).  Two families of hypotheses:
+
+1. Measurement artifact: bench_streaming scales reps DOWN with B
+   (reps = 32 // (B // 8)), so B=160 ran at reps=2 — the noisiest rung
+   of the sustained-timing ladder.
+2. A real per-program cost that grows superlinearly in B: the vmapped
+   one-hot table build materializes (B, 256, 256) intermediates
+   (42 MB at B=160 vs 17 MB at B=64), or the vmapped encode kernel's
+   grid scheduling degrades.
+
+This probe separates the stages IN ONE SESSION at each B:
+  hist      — vmapped histogram256 only
+  table     — vmapped build_coding_device from precomputed hists
+  body      — vmapped encode body from precomputed tables
+  full      — production _encode_batch
+and measures B=160 at reps 2 vs 8 to expose artifact (1).
+
+Usage: python tools/probe_batched.py [--bs 16,64,96,128,160,192]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def biased(n, seed=0):
+    rng = np.random.default_rng(seed)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    return rng.choice(256, size=n, p=p).astype(np.uint8)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", default="16,64,96,128,160,192")
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--out", default="benchmarks/probe_batched.json")
+    ap.add_argument("--skip-artifact", action="store_true",
+                    help="skip the B=160 reps-sensitivity check (CPU smoke)")
+    args = ap.parse_args()
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from huffman_tpu.bench.harness import sustained_seconds
+    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.models.tpu_codec import (
+        TpuCodec,
+        _encode_batch,
+        _encode_with_tables_body,
+    )
+    from huffman_tpu.ops.lookup import histogram256
+    from huffman_tpu.ops.table_build import build_coding_device
+
+    nb = 100 << 10
+    k = 1024
+    s = -(-nb // k)
+    w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
+    use_pallas = jax.default_backend() != "cpu"
+    gib = 1 << 30
+    codec = TpuCodec(k=k)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def hists_only(blocks):
+        return jax.vmap(histogram256)(blocks)
+
+    @jax.jit
+    def tables_only(hists):
+        return jax.vmap(lambda h: build_coding_device(h, serial_tree=False))(hists)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def body_only(blocks, enc_tables):
+        return jax.vmap(
+            lambda b, t: _encode_with_tables_body(b, t, s, k, w32, use_pallas)
+        )(blocks, enc_tables)
+
+    rows = []
+    for b in [int(x) for x in args.bs.split(",")]:
+        blocks = jax.device_put(jnp.asarray(biased(b * nb, seed=b).reshape(b, nb)))
+        hists = jax.block_until_ready(hists_only(blocks))
+        tabs = jax.block_until_ready(tables_only(hists))
+        enc_t = tabs["enc_table"]
+
+        def f_hist(pert):
+            return jnp.sum(hists_only(blocks + pert)).astype(jnp.float32)
+
+        def f_table(pert):
+            t = tables_only(hists + pert.astype(hists.dtype))
+            return jnp.sum(t["enc_table"]).astype(jnp.float32)
+
+        def f_body(pert):
+            w_, bits_ = body_only(blocks + pert, enc_t)
+            return jnp.sum(bits_).astype(jnp.float32)
+
+        def f_full(pert):
+            w_, bits_, t_ = _encode_batch(blocks + pert, s, k, w32, use_pallas)
+            return (jnp.sum(bits_) + jnp.sum(t_["enc_table"])).astype(jnp.float32)
+
+        r = {"blocks": b, "bytes": b * nb}
+        for name, f in [("hist", f_hist), ("table", f_table),
+                        ("body", f_body), ("full", f_full)]:
+            t = sustained_seconds(f, reps=args.reps, tries=3)
+            r[f"{name}_ms"] = round(t * 1e3, 4)
+        r["full_GiB_s"] = round(b * nb / (r["full_ms"] / 1e3) / gib, 3)
+        r["sum_stages_ms"] = round(r["hist_ms"] + r["table_ms"] + r["body_ms"], 4)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    art = {}
+    if args.skip_artifact:
+        out = {"curve": rows, "artifact_check_B160": art}
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps({"written": args.out}))
+        return
+
+    # Artifact check: B=160 full encode at reps 2 vs args.reps.
+    b = 160
+    blocks = jax.device_put(jnp.asarray(biased(b * nb, seed=b).reshape(b, nb)))
+
+    def f_full160(pert):
+        w_, bits_, t_ = _encode_batch(blocks + pert, s, k, w32, use_pallas)
+        return (jnp.sum(bits_) + jnp.sum(t_["enc_table"])).astype(jnp.float32)
+
+    for reps in (2, args.reps):
+        t = sustained_seconds(f_full160, reps=reps, tries=3)
+        art[f"reps{reps}_GiB_s"] = round(b * nb / t / gib, 3)
+    print(json.dumps({"artifact_check_B160": art}), flush=True)
+
+    out = {"curve": rows, "artifact_check_B160": art}
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"written": args.out}))
+
+
+if __name__ == "__main__":
+    main()
