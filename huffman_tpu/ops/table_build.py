@@ -67,14 +67,14 @@ def _sort_by_freq(hist):
     """
     h = hist.astype(_I32)
     key = jnp.where(h > 0, -h, jnp.int32(1))
-    # Sorting (key, value) pairs avoids a post-sort gather (which would
-    # serialize under vmap in the batched builder).
-    keys_sorted, counts_desc = jax.lax.sort(
-        (key, h), dimension=-1, num_keys=1, is_stable=True
+    # ONE stable sort carries both payloads (counts and the identity iota,
+    # which sorted stably IS the argsort): avoids a second sort, and
+    # carrying values avoids a post-sort gather (which would serialize
+    # under vmap in the batched builder).
+    iota = jnp.arange(_N, dtype=_I32)
+    _, counts_desc, syms_by_freq = jax.lax.sort(
+        (key, h, iota), dimension=-1, num_keys=1, is_stable=True
     )
-    order = jnp.argsort(key, stable=True).astype(_I32)
-    syms_by_freq = order
-    del keys_sorted
     num_syms = jnp.sum((h > 0).astype(_I32))
     return syms_by_freq, counts_desc, num_syms
 
