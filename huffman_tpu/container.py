@@ -22,17 +22,25 @@ Layout (little-endian):
 ``raw_len`` < block_size only for the final block (its pad is trimmed).
 ``total_raw`` lets the reader detect a container truncated at a record
 boundary (which would otherwise parse as a shorter valid file).
+
+Integrity: writers append a trailer record of kind 'C' (raw_len 0,
+payload = u32 crc32 of the complete raw content).  Readers verify it
+when present — a flipped payload bit otherwise decodes "successfully"
+to silently wrong bytes (Huffman streams self-synchronize) — and accept
+crc-less containers from older writers.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 MAGIC = b"HTPC"
 KIND_HUFF = 0x48  # 'H'  tpu-profile blob
 KIND_STORED = 0x53  # 'S'  raw bytes
 KIND_REF = 0x52  # 'R'  ref-profile blob; stream count k in the pad u16
 #                        (written by the native pipeline, native/pipeline.cpp)
+KIND_CRC = 0x43  # 'C'  trailer: u32 crc32 of the full raw content
 
 DEFAULT_BLOCK = 16 << 20
 
@@ -70,7 +78,29 @@ def compress_blocks(raw: bytes, codec, block_size: int = DEFAULT_BLOCK) -> bytes
         pos += block_size
         if n == 0:
             break
+    records.append(crc_record(raw))
     return pack(records, block_size)
+
+
+def crc_record(raw: bytes) -> tuple[int, int, bytes]:
+    """The integrity trailer: crc32 of the complete raw content."""
+    return (KIND_CRC, 0, struct.pack("<I", zlib.crc32(raw) & 0xFFFFFFFF))
+
+
+def check_crc(records, out: bytes) -> None:
+    """Verify the 'C' trailer against decoded output, if one is present.
+
+    Raises ValueError on mismatch; crc-less containers (older writers)
+    pass unchecked."""
+    for kind, _kx, _raw_len, rec in records:
+        if kind == KIND_CRC and len(rec) == 4:
+            want = struct.unpack("<I", rec)[0]
+            got = zlib.crc32(out) & 0xFFFFFFFF
+            if got != want:
+                raise ValueError(
+                    f"container crc mismatch: content crc {got:#010x} != "
+                    f"stored {want:#010x} (corrupt payload)"
+                )
 
 
 def parse_records(data: bytes):
@@ -104,6 +134,8 @@ def decode_record(kind: int, kx: int, raw_len: int, rec: bytes, codec) -> bytes:
         if len(rec) != raw_len:
             raise ValueError("stored record length mismatch")
         return rec
+    if kind == KIND_CRC:
+        return b""  # trailer; verified container-wide by check_crc
     if raw_len == 0:
         return b""
     if kind == KIND_HUFF:
@@ -130,4 +162,6 @@ def decompress_blocks(data: bytes, codec) -> bytes:
         raise ValueError(
             f"container truncated: decoded {len(out)} of {total_raw} bytes"
         )
-    return bytes(out)
+    result = bytes(out)
+    check_crc(records, result)
+    return result

@@ -371,7 +371,9 @@ class ShardedCodec:
         n = len(raw)
         bb = self.block_bytes
         if n == 0:
-            return container.pack([(container.KIND_HUFF, 0, b"")], bb)
+            return container.pack(
+                [(container.KIND_HUFF, 0, b""), container.crc_record(b"")], bb
+            )
         nb = -(-n // bb)
         d_axis = self.mesh.shape["data"]
         nb_pad = -(-nb // d_axis) * d_axis
@@ -413,6 +415,7 @@ class ShardedCodec:
                 )
             else:
                 records.append((container.KIND_HUFF, raw_len, blob))
+        records.append(container.crc_record(raw))
         return container.pack(records, bb)
 
     def decompress(self, blob: bytes) -> bytes:
@@ -488,4 +491,5 @@ class ShardedCodec:
             raise ValueError(
                 f"container truncated: decoded {len(out)} of {total_raw} bytes"
             )
+        container.check_crc(records, out)
         return out

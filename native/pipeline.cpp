@@ -35,6 +35,56 @@ namespace {
 constexpr uint8_t kMagic[4] = {'H', 'T', 'P', 'C'};
 constexpr uint8_t kKindStored = 0x53;  // 'S'
 constexpr uint8_t kKindRef = 0x52;     // 'R'
+constexpr uint8_t kKindCrc = 0x43;     // 'C' trailer: u32 crc32 of raw content
+
+// CRC-32 (IEEE reflected, poly 0xEDB88320) — matches Python zlib.crc32,
+// which writes/verifies the same container trailer (container.py).
+uint32_t Crc32(const uint8_t* p, size_t n, uint32_t crc = 0) {
+  static const auto table = [] {
+    std::vector<uint32_t> t(256);
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t r = i;
+      for (int b = 0; b < 8; ++b) r = (r >> 1) ^ (0xEDB88320u & (~(r & 1) + 1));
+      t[i] = r;
+    }
+    return t;
+  }();
+  crc = ~crc;
+  for (size_t i = 0; i < n; ++i) crc = table[(crc ^ p[i]) & 0xFF] ^ (crc >> 8);
+  return ~crc;
+}
+
+// crc32(A++B) from crc32(A), crc32(B), len(B): zlib's GF(2) matrix-power
+// method.  Lets the worker pool crc blocks in parallel (a serial whole-
+// file crc would rate-limit the threaded pipeline to ~0.5 GB/s).
+uint32_t Gf2Times(const uint32_t* mat, uint32_t vec) {
+  uint32_t sum = 0;
+  for (int i = 0; vec; vec >>= 1, ++i)
+    if (vec & 1) sum ^= mat[i];
+  return sum;
+}
+void Gf2Square(uint32_t* sq, const uint32_t* mat) {
+  for (int n = 0; n < 32; ++n) sq[n] = Gf2Times(mat, mat[n]);
+}
+uint32_t Crc32Combine(uint32_t crc1, uint32_t crc2, uint64_t len2) {
+  if (len2 == 0) return crc1;
+  uint32_t even[32], odd[32];
+  odd[0] = 0xEDB88320u;  // the crc polynomial advances one zero bit
+  uint32_t row = 1;
+  for (int n = 1; n < 32; ++n, row <<= 1) odd[n] = row;
+  Gf2Square(even, odd);  // two bits
+  Gf2Square(odd, even);  // four bits
+  do {  // apply len2 zero BYTES: square to 2x bytes each step
+    Gf2Square(even, odd);
+    if (len2 & 1) crc1 = Gf2Times(even, crc1);
+    len2 >>= 1;
+    if (!len2) break;
+    Gf2Square(odd, even);
+    if (len2 & 1) crc1 = Gf2Times(odd, crc1);
+    len2 >>= 1;
+  } while (len2);
+  return crc1 ^ crc2;
+}
 
 void PutU32(std::string& s, uint32_t v) {
   char b[4] = {(char)(v & 0xFF), (char)((v >> 8) & 0xFF), (char)((v >> 16) & 0xFF),
@@ -129,6 +179,7 @@ long hp_compress_file(const char* in_path, const char* out_path, long block,
   struct Rec {
     uint8_t kind;
     uint32_t raw_len;
+    uint32_t crc;
     std::string payload;
   };
   std::vector<Rec> recs(nb);
@@ -138,6 +189,7 @@ long hp_compress_file(const char* in_path, const char* out_path, long block,
     long m = std::min(block, n - off);
     Rec& r = recs[i];
     r.raw_len = (uint32_t)std::max<long>(m, 0);
+    r.crc = m > 0 ? Crc32(raw.data() + off, (size_t)m) : 0;
     if (m <= 0) {
       r.kind = kKindRef;
       return;
@@ -176,6 +228,14 @@ long hp_compress_file(const char* in_path, const char* out_path, long block,
     out.push_back(0);
     out += r.payload;
   }
+  // Integrity trailer: whole-content crc from the per-block worker crcs.
+  uint32_t crc = 0;
+  for (auto& r : recs) crc = Crc32Combine(crc, r.crc, r.raw_len);
+  PutU32(out, 4);  // rec_len
+  PutU32(out, 0);  // raw_len
+  out.push_back((char)kKindCrc);
+  out.append(3, '\0');
+  PutU32(out, crc);
   if (!WriteAll(out_path, out.data(), out.size())) return -1;
   return (long)out.size();
 }
@@ -198,6 +258,7 @@ long hp_decompress_file(const char* in_path, const char* out_path,
     const uint8_t* p;
     uint32_t len;
     uint64_t out_off;
+    uint32_t crc = 0;  // of this record's decoded bytes (worker-computed)
   };
   std::vector<Rec> recs;
   size_t pos = 16;
@@ -230,8 +291,8 @@ long hp_decompress_file(const char* in_path, const char* out_path,
   }
   std::atomic<bool> fail{false};
   bool ran = ParallelFor((long)recs.size(), threads, [&](long i) {
-    const Rec& r = recs[i];
-    if (r.raw_len == 0) return;
+    Rec& r = recs[i];
+    if (r.raw_len == 0) return;  // incl. the 'C' integrity trailer
     if (r.kind == kKindStored) {
       if (r.len != r.raw_len) {
         fail = true;
@@ -247,12 +308,32 @@ long hp_decompress_file(const char* in_path, const char* out_path,
         return;
       }
       size_t got = hh_decompress(r.p, r.len, r.k, out.data() + r.out_off, r.raw_len);
-      if (got != (size_t)r.raw_len) fail = true;
+      if (got != (size_t)r.raw_len) {
+        fail = true;
+        return;
+      }
     } else {
       fail = true;  // 'H' (tpu-profile) records need the Python decoder
+      return;
     }
+    r.crc = Crc32(out.data() + r.out_off, r.raw_len);
   });
   if (fail || !ran) return -1;
+  // Verify the 'C' trailer when present (older containers lack one):
+  // combine the workers' per-record crcs in output order.
+  bool have_want = false;
+  uint32_t want = 0;
+  for (const Rec& r : recs) {
+    if (r.kind == kKindCrc && r.len == 4) {
+      have_want = true;
+      want = GetU32(r.p);
+    }
+  }
+  if (have_want) {
+    uint32_t crc = 0;
+    for (const Rec& r : recs) crc = Crc32Combine(crc, r.crc, r.raw_len);
+    if (crc != want) return -1;
+  }
   if (!WriteAll(out_path, out.data(), out.size())) return -1;
   return (long)out.size();
 }

@@ -1,0 +1,70 @@
+"""CLI tool end-to-end (C33 — the component the reference left as a stub).
+
+Drives main() in-process on temp files for every profile, including the
+exit-code contract on corrupt input.  The tpu profile uses a small block
+size so the CPU-path compile stays cheap.
+"""
+
+import numpy as np
+import pytest
+
+from huffman_tpu import cli
+
+
+@pytest.fixture
+def sample_file(tmp_path):
+    rng = np.random.default_rng(5)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    data = rng.choice(256, size=200_000, p=p).astype(np.uint8).tobytes()
+    f = tmp_path / "in.bin"
+    f.write_bytes(data)
+    return f, data
+
+
+@pytest.mark.parametrize("profile", ["native", "ref"])
+def test_cli_compress_decompress(profile, sample_file, tmp_path, capsys):
+    f, data = sample_file
+    c = tmp_path / "out.htpf"
+    d = tmp_path / "back.bin"
+    cli.main(["compress", str(f), str(c), "--profile", profile, "--k", "32"])
+    cli.main(["decompress", str(c), str(d), "--profile", profile, "--k", "32"])
+    assert d.read_bytes() == data
+    out = capsys.readouterr().out
+    assert "bytes" in out
+    # Compressible input actually compressed.
+    assert c.stat().st_size < len(data)
+
+
+def test_cli_roundtrip_tpu_profile(sample_file, capsys):
+    f, data = sample_file
+    # 64 KiB blocks: small shapes, fast CPU compile; exercises the
+    # container framing with multiple blocks plus a short tail block.
+    cli.main(["roundtrip", str(f), "--profile", "tpu", "--block", str(64 << 10)])
+    assert "roundtrip OK" in capsys.readouterr().out
+
+
+def test_cli_roundtrip_native(sample_file, capsys):
+    f, _ = sample_file
+    cli.main(["roundtrip", str(f), "--profile", "native", "--k", "16"])
+    assert "roundtrip OK" in capsys.readouterr().out
+
+
+def test_cli_corrupt_container_exits_nonzero(sample_file, tmp_path):
+    """A payload bit flip decodes through Huffman without structural
+    errors; the container's crc32 trailer is what rejects it."""
+    f, data = sample_file
+    c = tmp_path / "out.htpf"
+    cli.main(["compress", str(f), str(c), "--profile", "tpu", "--block", str(64 << 10)])
+    blob = bytearray(c.read_bytes())
+    blob[len(blob) // 2] ^= 0xFF  # flip a payload bit mid-container
+    c.write_bytes(bytes(blob))
+    d = tmp_path / "back.bin"
+    with pytest.raises(SystemExit):
+        cli.main(["decompress", str(c), str(d), "--profile", "tpu"])
+
+
+def test_cli_unknown_profile_rejected(sample_file, tmp_path):
+    f, _ = sample_file
+    with pytest.raises(SystemExit):
+        cli.main(["compress", str(f), str(tmp_path / "x"), "--profile", "zstd"])

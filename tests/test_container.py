@@ -100,3 +100,46 @@ def test_truncated_blob_every_prefix():
     for cut in range(0, min(len(blob), 64)):
         with pytest.raises(ValueError):
             TpuCodec().decompress(blob[:cut])
+
+
+def test_crc_trailer_detects_payload_corruption():
+    """A flipped bit inside a compressed record's payload decodes
+    'successfully' through Huffman (streams self-synchronize) — only the
+    crc32 trailer catches it."""
+    import zlib
+
+    from huffman_tpu.models.tpu_codec import TpuCodec
+
+    rng = np.random.default_rng(9)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    raw = rng.choice(256, size=150_000, p=p).astype(np.uint8).tobytes()
+    codec = TpuCodec()
+    blob = container.compress_blocks(raw, codec, block_size=64 << 10)
+    # The trailer exists and matches.
+    _bs, _tot, records = container.parse_records(blob)
+    crcs = [r for r in records if r[0] == container.KIND_CRC]
+    assert len(crcs) == 1
+    import struct
+    assert struct.unpack("<I", crcs[0][3])[0] == (zlib.crc32(raw) & 0xFFFFFFFF)
+    assert container.decompress_blocks(blob, codec) == raw
+
+    bad = bytearray(blob)
+    bad[len(bad) // 3] ^= 0x10  # payload region of an early record
+    with pytest.raises(ValueError):
+        container.decompress_blocks(bytes(bad), codec)
+
+
+def test_crc_less_container_still_accepted():
+    """Containers from pre-crc writers (no 'C' record) decode unchecked."""
+    from huffman_tpu.models.tpu_codec import TpuCodec
+
+    raw = _rand(50_000, seed=4)
+    codec = TpuCodec()
+    blob = container.compress_blocks(raw, codec, block_size=32 << 10)
+    _bs, _tot, records = container.parse_records(blob)
+    legacy = [r for r in records if r[0] != container.KIND_CRC]
+    blob2 = container.pack(
+        [(k, rl, rec) for (k, _kx, rl, rec) in legacy], 32 << 10
+    )
+    assert container.decompress_blocks(blob2, codec) == raw

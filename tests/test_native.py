@@ -93,3 +93,44 @@ def test_pipeline_file_empty_and_errors(tmp_path):
     bad.write_bytes(b"NOPE" + b"\0" * 32)
     with _pytest.raises(ValueError):
         native.decompress_file(str(bad), str(back))
+
+
+def test_pipeline_crc_trailer_cross_checked(tmp_path):
+    """Native-written containers carry a crc32 trailer matching Python's
+    zlib.crc32 (validates the C++ Crc32Combine against zlib), a payload
+    bit flip is rejected by the NATIVE reader, and the same flip is
+    rejected by the PYTHON reader (shared trailer semantics)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from huffman_tpu import container, native
+
+    rng = np.random.default_rng(6)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    raw = rng.choice(256, size=500_000, p=p).astype(np.uint8).tobytes()
+    inp = tmp_path / "in.bin"
+    comp = tmp_path / "out.htz"
+    back = tmp_path / "back.bin"
+    inp.write_bytes(raw)
+    native.compress_file(str(inp), str(comp), k=16, block=1 << 17)
+
+    blob = comp.read_bytes()
+    _bs, _tot, records = container.parse_records(blob)
+    crcs = [r for r in records if r[0] == container.KIND_CRC]
+    assert len(crcs) == 1
+    assert struct.unpack("<I", crcs[0][3])[0] == (zlib.crc32(raw) & 0xFFFFFFFF)
+
+    native.decompress_file(str(comp), str(back))
+    assert back.read_bytes() == raw
+
+    bad = bytearray(blob)
+    bad[len(bad) // 2] ^= 0x04  # payload bit inside a compressed record
+    badf = tmp_path / "bad.htz"
+    badf.write_bytes(bytes(bad))
+    with _pytest.raises(ValueError):
+        native.decompress_file(str(badf), str(back))
+    with _pytest.raises(ValueError):
+        container.decompress_blocks(bytes(bad), None)

@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--out", default="benchmarks/probe_batched.json")
     ap.add_argument("--skip-artifact", action="store_true",
                     help="skip the B=160 reps-sensitivity check (CPU smoke)")
+    ap.add_argument("--max-reps", type=int, default=512,
+                    help="escalation cap (keep small on CPU: reps ladders explode wall time)")
     args = ap.parse_args()
 
     import functools
@@ -109,7 +111,7 @@ def main():
         r = {"blocks": b, "bytes": b * nb}
         for name, f in [("hist", f_hist), ("table", f_table),
                         ("body", f_body), ("full", f_full)]:
-            t = sustained_seconds(f, reps=args.reps, tries=3)
+            t = sustained_seconds(f, reps=args.reps, tries=3, max_reps=args.max_reps)
             r[f"{name}_ms"] = round(t * 1e3, 4)
         r["full_GiB_s"] = round(b * nb / (r["full_ms"] / 1e3) / gib, 3)
         r["sum_stages_ms"] = round(r["hist_ms"] + r["table_ms"] + r["body_ms"], 4)
@@ -134,7 +136,7 @@ def main():
         return (jnp.sum(bits_) + jnp.sum(t_["enc_table"])).astype(jnp.float32)
 
     for reps in (2, args.reps):
-        t = sustained_seconds(f_full160, reps=reps, tries=3)
+        t = sustained_seconds(f_full160, reps=reps, tries=3, max_reps=args.max_reps)
         art[f"reps{reps}_GiB_s"] = round(b * nb / t / gib, 3)
     print(json.dumps({"artifact_check_B160": art}), flush=True)
 
