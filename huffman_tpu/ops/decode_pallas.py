@@ -118,6 +118,7 @@ def _make_decode_kernel(
     legacy_pack: bool = False,
     fuse_r1: bool = False,
     fuse_s3: bool = False,
+    fuse_r2: bool = False,
 ):
     slots = -(-32 // group)
     T = t_rows
@@ -131,7 +132,12 @@ def _make_decode_kernel(
     # word needs the NEXT word's first slot, so stores lag one row: word
     # w stores merged rows [w*slots - 1, w*slots + slots - 2] and carries
     # its last slot value.
-    r1 = fuse_r1 and d_max_static >= 1 and not legacy_pack
+    # fuse_r2: one level deeper — round 2 (sh=2) consumes the in-register
+    # round-1 outputs, so stores lag THREE rows and the carry holds the
+    # last raw slot plus the last two round-1 rows.  Requires slots >= 4
+    # (true for every staging group: slots = 32/group with group <= 8).
+    r1 = (fuse_r1 or fuse_r2) and d_max_static >= 1 and not legacy_pack
+    r2 = fuse_r2 and d_max_static >= 2 and not legacy_pack and slots >= 4
     # Staged-entry layout: (win + 1) << db | disp, invalid rows 0.  The
     # displacement sits in the LOW bits so each compaction round tests
     # and clears its bit with `& sh` / `- sh` — no shifts on the merge
@@ -166,6 +172,12 @@ def _make_decode_kernel(
             arrive = (xs & 1) != 0
             stay = (base & 1) == 0
             return jnp.where(arrive, xs - 1, jnp.where(stay, base, 0))
+
+        def merge2(base, xs):
+            # Compaction round sh=2 on round-1 register values.
+            arrive = (xs & 2) != 0
+            stay = (base & 2) == 0
+            return jnp.where(arrive, xs - 2, jnp.where(stay, base, 0))
 
         def _store(x):
             # u8 output quarters the HBM write (S*K bytes instead of
@@ -284,6 +296,23 @@ def _make_decode_kernel(
                     # group  =>  ln + c - wd.  No boundary: c - wd.
                     c = jnp.where(bany, ln + c, c) - wd
                     c2 = c2 + bany.astype(_I32)
+            if r2:
+                # m[j] = round-1 row (w*slots - 1 + j); carry[3:5] are the
+                # previous word's last two round-1 rows, carry[2] its last
+                # raw slot.  Round-2 row r merges m-rows r and r+2, so
+                # stores lag three rows behind the raw slots.  At w=0 the
+                # clamped prologue writes land on row 0 and are overwritten
+                # by the true row-0 store in the same iteration (stores
+                # execute in program order).
+                m = [merge1(carry[2], svals[0])] + [
+                    merge1(svals[i], svals[i + 1]) for i in range(slots - 1)
+                ]
+                st_ref[jnp.maximum(w * slots - 3, 0)] = merge2(carry[3], m[0])
+                st_ref[jnp.maximum(w * slots - 2, 0)] = merge2(carry[4], m[1])
+                st_ref[jnp.maximum(w * slots - 1, 0)] = merge2(m[0], m[2])
+                for i in range(slots - 3):
+                    st_ref[w * slots + i] = merge2(m[1 + i], m[3 + i])
+                return (c, c2, svals[slots - 1], m[slots - 2], m[slots - 1])
             if r1:
                 # Row w*slots-1 = merge(prev word's last slot, this
                 # word's first).  At w=0 the clamped index 0 is written
@@ -298,13 +327,23 @@ def _make_decode_kernel(
             return (c, c2)
 
         init = (jnp.zeros(shape, _I32), jnp.zeros(shape, _I32))
-        if r1:
+        if r2:
+            init = init + (jnp.zeros(shape, _I32),) * 3
+        elif r1:
             init = init + (jnp.zeros(shape, _I32),)
         fin = jax.lax.fori_loop(0, w_stop, row_step, init)
-        if r1:
+        zero = jnp.zeros(shape, _I32)
+        if r2:
+            # Deferred tail: m rows T'-1 (needs raw row T' = 0) and T'
+            # (= 0), then the last three round-2 rows.
+            mm1 = merge1(fin[2], zero)
+            st_ref[w_stop * slots - 3] = merge2(fin[3], mm1)
+            st_ref[w_stop * slots - 2] = merge2(fin[4], zero)
+            st_ref[w_stop * slots - 1] = merge2(mm1, zero)
+        elif r1:
             # The deferred last slot of word w_stop-1 merges with row
             # w_stop*slots = 0 (zero-filled or pad).
-            st_ref[w_stop * slots - 1] = merge1(fin[2], jnp.zeros(shape, _I32))
+            st_ref[w_stop * slots - 1] = merge1(fin[2], zero)
 
         def zero_rows(w, _):
             fill = jnp.full(shape, -1, _I32) if legacy_pack else jnp.zeros(shape, _I32)
@@ -467,9 +506,11 @@ def _make_decode_kernel(
             dst[:h] = jnp.where(arrive, xs - sh, jnp.where(stay, base, 0))
 
         if not dyn_rounds:
-            # fuse_r1 already ran round sh=1 inside the scan's stores.
-            rs = shifts[1:] if r1 else shifts
-            rh = heights[1:] if r1 else heights
+            # fuse_r1/fuse_r2 already ran rounds sh=1 (and sh=2) inside
+            # the scan's stores.
+            skip = 2 if r2 else (1 if r1 else 0)
+            rs = shifts[skip:]
+            rh = heights[skip:]
             # fuse_s3: the last round's merged rows feed stage 3 as a
             # register value instead of a store + re-read of out_len rows
             # (heights[-1] == out_len exactly, so nothing else reads it).
@@ -545,7 +586,7 @@ def _make_decode_kernel(
     static_argnames=(
         "group", "out_len", "blk", "scan", "spec", "debug_stages",
         "syms_identity", "dev_slots", "out_u8", "dyn_rounds", "legacy_pack",
-        "fuse_r1", "fuse_s3",
+        "fuse_r1", "fuse_s3", "fuse_r2",
     ),
 )
 def decode_bitserial_pallas(
@@ -568,6 +609,7 @@ def decode_bitserial_pallas(
     legacy_pack: bool = False,
     fuse_r1: bool = False,
     fuse_s3: bool = False,
+    fuse_r2: bool = False,
     step_words=None,
 ):
     """Fused TPU decode.
@@ -614,14 +656,14 @@ def decode_bitserial_pallas(
         step_words = jnp.full((n_steps,), W, _I32)
     if out_u8:
         assert debug_stages == 3, "u8 output only for the full kernel"
-    if fuse_r1 or fuse_s3:
+    if fuse_r1 or fuse_s3 or fuse_r2:
         assert not dyn_rounds and not legacy_pack, (
-            "fuse_r1/fuse_s3 are static-round-schedule variants"
+            "fuse_r1/fuse_r2/fuse_s3 are static-round-schedule variants"
         )
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
         syms_identity, dev_slots, out_u8, dyn_rounds, legacy_pack,
-        fuse_r1, fuse_s3,
+        fuse_r1, fuse_s3, fuse_r2,
     )
     d_max = max(t_rows - out_len + 1, 0)
     pad = _compaction_pad(d_max)
