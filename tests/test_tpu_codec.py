@@ -71,3 +71,19 @@ def test_k_read_from_blob():
     blob = TpuCodec(16).compress(raw)
     # decoding with a differently-configured codec works: K is in the header
     assert TpuCodec(32).decompress(blob) == raw
+
+
+def test_default_lanes_pallas_eligible_at_reference_len():
+    """The auto lane count keeps the fused-kernel guard (k % 1024 == 0)
+    satisfied at the reference's benchmark granularity (100 KiB,
+    huffman_benchmark.cpp:19) and everywhere above 64 KiB."""
+    from huffman_tpu.models.tpu_codec import default_lanes
+
+    for n in (64 << 10, 100 << 10, 127 << 10, 1 << 20, 16 << 20):
+        k = default_lanes(n)
+        assert k % 1024 == 0, (n, k)
+        s = -(-n // k)
+        assert 2 <= s <= 256, (n, k, s)
+    # Tiny inputs still scale K down (header overhead would dominate).
+    assert default_lanes(4096) < 1024
+    assert default_lanes(0) == 8
