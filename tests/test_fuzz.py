@@ -95,3 +95,30 @@ def test_malformed_ref_blob_raises_or_decodes():
     # Every truncation point in the header region, and a few in payload.
     for cut in range(0, min(len(blob), 80)):
         check(bytes(blob[:cut]))
+
+
+def test_container_mutation_never_silently_wrong():
+    """With the crc32 trailer, ANY byte mutation of a container must
+    either raise ValueError or decode to the exact original bytes (e.g.
+    flips in slop/padding) — never silently wrong output.  This is the
+    end-to-end integrity property the reference explicitly lacks
+    (README.md:140-146)."""
+    from huffman_tpu import container
+    from huffman_tpu.models.tpu_codec import TpuCodec
+
+    rng = np.random.default_rng(21)
+    p = 0.8 ** np.arange(256) * 0.2
+    p /= p.sum()
+    raw = rng.choice(256, size=120_000, p=p).astype(np.uint8).tobytes()
+    codec = TpuCodec()
+    blob = bytearray(container.compress_blocks(raw, codec, block_size=48 << 10))
+
+    for trial in range(40):
+        bad = bytearray(blob)
+        i = int(rng.integers(0, len(bad)))
+        bad[i] ^= int(rng.integers(1, 256))
+        try:
+            out = container.decompress_blocks(bytes(bad), codec)
+        except ValueError:
+            continue
+        assert out == raw, f"silent corruption from byte {i}"
