@@ -1,0 +1,56 @@
+#!/bin/bash
+# Round-3 on-chip measurement battery (serial; ONE TPU job at a time).
+# Each step is timeout-guarded and logged; a dead tunnel aborts the rest
+# (a hung XLA call would otherwise eat every step's timeout).
+#
+# Usage: bash tools/run_battery.sh [logdir]
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-benchmarks/r3_battery_log}
+mkdir -p "$LOG"
+
+probe() {
+  timeout 90 python bench.py --probe >/dev/null 2>&1
+}
+
+step() {  # step NAME TIMEOUT CMD...
+  local name=$1 tmo=$2; shift 2
+  if ! probe; then
+    echo "TUNNEL DEAD before step $name — aborting battery" | tee -a "$LOG/status.txt"
+    exit 2
+  fi
+  echo "=== $name start $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
+  timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name rc=$rc $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
+  tail -3 "$LOG/$name.log" | sed 's/^/    /'
+}
+
+# Warm the compile cache + refresh last_good.json first.
+step prewarm    1800 python tools/prewarm_bench.py
+
+# Decode kernel A/Bs (VERDICT item 2; production vs staged variants).
+step ab_legacy  1200 python tools/ab.py decode --b legacy_pack=1 --size 16777216 --rounds 5
+step ab_r1      1200 python tools/ab.py decode --b fuse_r1=1 --size 16777216 --rounds 5
+step ab_r2      1200 python tools/ab.py decode --b fuse_r2=1 --size 16777216 --rounds 5
+step ab_r2s3    1200 python tools/ab.py decode --b fuse_r2=1,fuse_s3=1 --size 16777216 --rounds 5
+
+# Encode kernel A/Bs (flag-gated variants staged earlier this round).
+step ab_place   1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,place_v2=1 --size 16777216 --rounds 5
+step ab_mxu     1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,mxu_prefix=1 --size 16777216 --rounds 5
+step ab_hist    1200 python tools/ab.py encode --a hist_stride=1 --b hist_stride=8 --size 16777216 --rounds 5 --skip-exact
+
+# Histogram variant race (C5 analog evidence).
+step hist_exp   1200 python tools/hist_experiments.py 16
+
+# Headline + suites (conservative numbers BEFORE any default flips).
+step bench      1200 python bench.py --once
+step suite      1800 python tools/run_benchmarks.py --size 4194304
+step small      1500 python tools/bench_small.py
+step streaming  1800 python tools/bench_streaming.py
+step batched    1800 python tools/probe_batched.py
+
+# Real-chip pytest smoke (VERDICT item 8).
+step smoke       900 python -m pytest tests/test_chip_smoke.py --runslow -q
+
+echo "BATTERY COMPLETE $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
