@@ -119,6 +119,7 @@ def _make_decode_kernel(
     fuse_r1: bool = False,
     fuse_s3: bool = False,
     fuse_r2: bool = False,
+    val_rounds: bool = False,
 ):
     slots = -(-32 // group)
     T = t_rows
@@ -511,6 +512,32 @@ def _make_decode_kernel(
             skip = 2 if r2 else (1 if r1 else 0)
             rs = shifts[skip:]
             rh = heights[skip:]
+            if val_rounds:
+                # Rounds on VALUES instead of ref ping-pong (the encode
+                # kernel's placement style, _or_place_kernel_v2): one bulk
+                # read of the staged rows, then Mosaic schedules the round
+                # buffering itself instead of round-tripping st_ref/st2_ref.
+                packed = st_ref[: T + pad]
+                zrow = jnp.zeros((1, blk, 128), _I32)
+                for i, sh in enumerate(rs):
+                    h = rh[i]
+                    cur = packed.shape[0]
+                    base = packed[:h]
+                    if sh + h <= cur:
+                        xs = packed[sh : sh + h]
+                    else:
+                        xs = jnp.concatenate(
+                            [packed[sh:cur]] + [zrow] * (sh + h - cur), axis=0
+                        )
+                    arrive = (xs & sh) != 0
+                    stay = (base & sh) == 0
+                    packed = jnp.where(arrive, xs - sh, jnp.where(stay, base, 0))
+                codes = (packed[:out_len] >> db) - 1
+                if debug_stages <= 2:
+                    out_ref[:] = codes
+                    return
+                _stage3(codes)
+                return
             # fuse_s3: the last round's merged rows feed stage 3 as a
             # register value instead of a store + re-read of out_len rows
             # (heights[-1] == out_len exactly, so nothing else reads it).
@@ -586,7 +613,7 @@ def _make_decode_kernel(
     static_argnames=(
         "group", "out_len", "blk", "scan", "spec", "debug_stages",
         "syms_identity", "dev_slots", "out_u8", "dyn_rounds", "legacy_pack",
-        "fuse_r1", "fuse_s3", "fuse_r2",
+        "fuse_r1", "fuse_s3", "fuse_r2", "val_rounds",
     ),
 )
 def decode_bitserial_pallas(
@@ -610,6 +637,7 @@ def decode_bitserial_pallas(
     fuse_r1: bool = False,
     fuse_s3: bool = False,
     fuse_r2: bool = False,
+    val_rounds: bool = False,
     step_words=None,
 ):
     """Fused TPU decode.
@@ -656,14 +684,14 @@ def decode_bitserial_pallas(
         step_words = jnp.full((n_steps,), W, _I32)
     if out_u8:
         assert debug_stages == 3, "u8 output only for the full kernel"
-    if fuse_r1 or fuse_s3 or fuse_r2:
+    if fuse_r1 or fuse_s3 or fuse_r2 or val_rounds:
         assert not dyn_rounds and not legacy_pack, (
-            "fuse_r1/fuse_r2/fuse_s3 are static-round-schedule variants"
+            "fuse_r1/fuse_r2/fuse_s3/val_rounds are static-round-schedule variants"
         )
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
         syms_identity, dev_slots, out_u8, dyn_rounds, legacy_pack,
-        fuse_r1, fuse_s3, fuse_r2,
+        fuse_r1, fuse_s3, fuse_r2, val_rounds,
     )
     d_max = max(t_rows - out_len + 1, 0)
     pad = _compaction_pad(d_max)
