@@ -34,6 +34,8 @@ step ab_legacy  1200 python tools/ab.py decode --b legacy_pack=1 --size 16777216
 step ab_r1      1200 python tools/ab.py decode --b fuse_r1=1 --size 16777216 --rounds 5
 step ab_r2      1200 python tools/ab.py decode --b fuse_r2=1 --size 16777216 --rounds 5
 step ab_r2s3    1200 python tools/ab.py decode --b fuse_r2=1,fuse_s3=1 --size 16777216 --rounds 5
+step ab_val     1200 python tools/ab.py decode --b val_rounds=1 --size 16777216 --rounds 5
+step ab_r2val   1200 python tools/ab.py decode --b fuse_r2=1,val_rounds=1 --size 16777216 --rounds 5
 
 # Encode kernel A/Bs (flag-gated variants staged earlier this round).
 step ab_place   1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,place_v2=1 --size 16777216 --rounds 5
