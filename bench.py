@@ -243,9 +243,11 @@ def _supervise() -> int:
     fresh process.  Policy (round-3 rework; the r01/r02 outages
     outlasted the old 1200 s / 4-attempt budget):
 
-    * A *provisional* JSON line (value null, ``last_known_good``
-      attached) is printed immediately, so even a hard external kill
-      leaves a parseable record; the final line supersedes it.
+    * A *provisional* record (value null, ``last_known_good``
+      attached) is printed to STDERR immediately, so even a hard
+      external kill leaves a parseable trace — stdout keeps the
+      documented one-JSON-line contract (a stdout provisional line
+      could be mistaken for the result by a first-line parser).
     * After a probe-stage hang, cheap ``--probe`` children (~45 s when
       hung, ~15 s when up) poll the tunnel with growing sleeps; a full
       measurement attempt (~150 s when hung) is only spent once a probe
@@ -289,7 +291,7 @@ def _supervise() -> int:
         "provisional": True,
         "last_known_good": _read_last_good(),
     }
-    print(json.dumps(provisional), flush=True)
+    print(json.dumps(provisional), file=sys.stderr, flush=True)
 
     last = ""
     rc = 1

@@ -167,8 +167,10 @@ def _table_hist(padded, hist_stride: int):
     if hist_stride <= 1 or n < _HIST_ROW * hist_stride:
         return histogram256(padded)
     rows = n // (_HIST_ROW * hist_stride)
+    # Truncate FLAT first (guard above ensures rows >= 1): n itself need
+    # not divide _HIST_ROW for custom lane counts (e.g. k=8, 5 MB input).
     sample = jax.lax.slice(
-        padded.reshape(-1, _HIST_ROW)[: rows * hist_stride],
+        padded[: rows * hist_stride * _HIST_ROW].reshape(-1, _HIST_ROW),
         (0, 0),
         (rows * hist_stride, _HIST_ROW),
         (hist_stride, 1),
@@ -285,9 +287,10 @@ def decode_statics(m: dict, s: int) -> tuple:
       spec — present-length compare-chain runs (dense unless >= 2 terms
         collapse, so dense alphabets share one compiled program);
       syms_identity — True when rank -> symbol is the identity map;
-      dev_slots — 0, or the {4, 8} bucket when rank -> symbol deviates
-        from identity in at most that many ranks (near-monotone sources:
-        the kernel applies sparse corrections instead of a lane gather);
+      dev_slots — ALWAYS 0 in the default dispatch (sparse rank->symbol
+        corrections measured 33.75% slower than the lane gather on v5e;
+        see the inline note).  Nonzero {4, 8} buckets engage only via
+        tools/ab.py's dev_slots= override for A/B re-runs;
       dev_rd — (32,) int32: deviation ranks at [0:16] (pad -1), deltas
         at [16:32].  Dynamic values — every deviation pattern in a
         bucket shares one compiled program.

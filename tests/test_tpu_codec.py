@@ -87,3 +87,29 @@ def test_default_lanes_pallas_eligible_at_reference_len():
     # Tiny inputs still scale K down (header overhead would dominate).
     assert default_lanes(4096) < 1024
     assert default_lanes(0) == 8
+
+
+def test_sampled_hist_non_divisible_length():
+    """Sampled table histogram must accept padded lengths that are NOT a
+    multiple of _HIST_ROW (any custom lane count can produce one; the
+    reshape used to raise).  Regression for the round-3 review finding."""
+    import jax.numpy as jnp
+
+    from huffman_tpu.models import tpu_codec as tc
+
+    n = tc._HIST_ROW * 9 + 37  # >= _HIST_ROW*stride, not divisible
+    data = jnp.asarray(np.frombuffer(biased_proba(n=n), np.uint8))
+    h = np.asarray(tc._table_hist(data, tc._HIST_SAMPLE_STRIDE))
+    assert h.shape == (256,)
+    assert h.min() >= 1  # +1 smoothing covers sampled-out symbols
+    # Exact path unchanged for stride 1.
+    h1 = np.asarray(tc._table_hist(data, 1))
+    assert int(h1.sum()) == n
+
+
+def test_custom_lane_sampled_hist_round_trip():
+    """End-to-end: a lane count whose padded block length is not a
+    512-multiple, forced through the sampled-histogram path."""
+    raw = biased_proba(n=50_000)
+    c = TpuCodec(8, hist_stride=8)
+    assert c.decompress(c.compress(raw)) == raw

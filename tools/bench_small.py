@@ -7,10 +7,11 @@ blocks are latency-bound; this sweep measures sustained single-block
 rates across sizes and lane counts and prints the crossover table for
 RESULTS.md ("TPU wins above X KiB single-block; any size batched").
 
-Key lever at 100 KiB: the auto lane heuristic picks k=512 (s=200),
-which fails the fused kernels' k % 1024 == 0 guard and falls back to
-the XLA scan pipeline; k=1024 (s=100) keeps the Pallas path at a ~1-2%
-serialized-size cost (per-lane bit counts).
+Since commit f522bcf, `default_lanes` already returns 1024 from 64 KiB
+up precisely so small blocks keep the fused Pallas kernels (the older
+k=512 choice failed the k % 1024 == 0 guard and fell back to the XLA
+scan pipeline).  The sweep therefore skips any explicit k that
+duplicates the auto choice for a given size.
 
 Usage: python tools/bench_small.py [--sizes 102400,262144,1048576]
 """
@@ -53,6 +54,10 @@ def main():
         for kspec in args.ks.split(","):
             k = default_lanes(n) if kspec == "auto" else int(kspec)
             if k > n:
+                continue
+            # Skip explicit ks that duplicate the auto row — each row
+            # costs two full sustained measurements on the chip.
+            if kspec != "auto" and k == default_lanes(n):
                 continue
             label = f"k={k}" + (" (auto)" if kspec == "auto" else "")
             try:

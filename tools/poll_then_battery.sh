@@ -1,0 +1,23 @@
+#!/bin/bash
+# Poll the TPU tunnel; when it answers, run the round-3 battery.
+# Logs to benchmarks/r3_battery_log/. Gives up after MAX_WAIT_S.
+set -u
+cd "$(dirname "$0")/.."
+LOG=benchmarks/r3_battery_log
+mkdir -p "$LOG"
+MAX_WAIT_S=${MAX_WAIT_S:-36000}
+START=$(date +%s)
+while true; do
+  if timeout 90 python bench.py --probe >/dev/null 2>&1; then
+    echo "TUNNEL UP $(date -u +%H:%M:%S) — starting battery" | tee -a "$LOG/status.txt"
+    bash tools/run_battery.sh "$LOG"
+    exit $?
+  fi
+  NOW=$(date +%s)
+  echo "tunnel still down $(date -u +%H:%M:%S)" >> "$LOG/poll.txt"
+  if [ $((NOW - START)) -gt "$MAX_WAIT_S" ]; then
+    echo "GAVE UP waiting for tunnel after ${MAX_WAIT_S}s" | tee -a "$LOG/status.txt"
+    exit 3
+  fi
+  sleep 240
+done
