@@ -122,3 +122,18 @@ def test_container_mutation_never_silently_wrong():
         except ValueError:
             continue
         assert out == raw, f"silent corruption from byte {i}"
+
+
+def test_fuzz_hist_stride_round_trip():
+    """Sampled-histogram tables change the CODE but never correctness:
+    any (size, k, stride) combination must round-trip exactly, including
+    strides that leave a non-512-multiple sample window."""
+    rng = np.random.default_rng(99)
+    for i in range(12):
+        n = int(rng.integers(1, 40_000))
+        data = _gen(rng, ["uniform", "biased", "runs", "few"][i % 4], n)
+        raw = data.tobytes()[:n]
+        k = int(rng.choice([8, 64, 256]))
+        stride = int(rng.choice([2, 3, 8, 17]))
+        c = TpuCodec(k, hist_stride=stride)
+        assert c.decompress(c.compress(raw)) == raw, (i, n, k, stride)
