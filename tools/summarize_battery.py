@@ -1,0 +1,131 @@
+"""Summarize a run_battery.sh log directory into flag-flip decisions.
+
+Applies the post-battery playbook (/tmp/r3_battery.md, mirrored here) to
+the A/B logs so acting on a finished battery is one read instead of
+twelve log greps:
+
+* ab.py semantics: ``median_ratio`` = t_A/t_B; ``b_speedup_pct`` =
+  (median_ratio - 1) * 100 — POSITIVE means variant B is FASTER.
+* decode combos (fuse_r1 / fuse_r2 / fuse_r2+fuse_s3 / val_rounds /
+  fuse_r2+val_rounds): recommend flipping the production default for the
+  combo with the largest b_speedup_pct if it clears +3% (beyond A/B
+  spread noise).
+* encode variants (place_v2 / mxu_prefix): same +3% bar, independent.
+* ab_legacy guards the round-3 packed-in-scan rewrite: B is the OLD
+  layout, so b_speedup_pct should be <= 0; a legacy win > 3% is flagged
+  for investigation, not reversion.
+* ab_hist (stride 1 vs 8) is informational — production already
+  auto-samples at >= 4 MiB; exactness is skipped by design there.
+
+Usage: python tools/summarize_battery.py [logdir]
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+import sys
+
+THRESHOLD_PCT = 3.0
+
+
+def last_json(path: pathlib.Path):
+    if not path.exists():
+        return None
+    obj = None
+    for line in path.read_text(errors="replace").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                obj = json.loads(line)
+            except Exception:
+                pass
+    return obj
+
+
+def step_rcs(logdir: pathlib.Path) -> dict:
+    rcs = {}
+    status = logdir / "status.txt"
+    if status.exists():
+        for m in re.finditer(r"=== (\S+) rc=(\d+)", status.read_text()):
+            rcs[m.group(1)] = int(m.group(2))
+    return rcs
+
+
+def main() -> int:
+    logdir = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "benchmarks/r3_battery_log")
+    rcs = step_rcs(logdir)
+
+    decode_combos = {
+        "ab_r1": "fuse_r1=1",
+        "ab_r2": "fuse_r2=1",
+        "ab_r2s3": "fuse_r2=1,fuse_s3=1",
+        "ab_val": "val_rounds=1",
+        "ab_r2val": "fuse_r2=1,val_rounds=1",
+    }
+    encode_combos = {"ab_place": "place_v2=1", "ab_mxu": "mxu_prefix=1"}
+
+    print(f"battery summary: {logdir}")
+    if rcs:
+        bad = {k: v for k, v in rcs.items() if v != 0}
+        print(f"steps: {len(rcs)} ran, {len(bad)} nonzero rc" + (f" -> {bad}" if bad else ""))
+
+    def report(name, flags):
+        r = last_json(logdir / f"{name}.log")
+        if r is None or "b_speedup_pct" not in r:
+            print(f"  {name:<10} ({flags:<24}) MISSING/UNPARSEABLE")
+            return None
+        sp, spread = r["b_speedup_pct"], r.get("spread", 0.0)
+        print(f"  {name:<10} ({flags:<24}) B speedup {sp:+6.2f}%  spread {spread:.4f}")
+        return sp
+
+    print("decode A/Bs (B = staged variant):")
+    best_name, best_sp = None, 0.0
+    for name, flags in decode_combos.items():
+        sp = report(name, flags)
+        if sp is not None and sp > best_sp:
+            best_name, best_sp = name, sp
+    leg = last_json(logdir / "ab_legacy.log")
+    if leg and "b_speedup_pct" in leg:
+        sp = leg["b_speedup_pct"]
+        verdict = "OK (rewrite holds)" if sp <= THRESHOLD_PCT else "INVESTIGATE: legacy layout won"
+        print(f"  ab_legacy  (B = pre-round-3 layout)   B speedup {sp:+6.2f}%  {verdict}")
+
+    print("encode A/Bs:")
+    enc_flips = []
+    for name, flags in encode_combos.items():
+        sp = report(name, flags)
+        if sp is not None and sp >= THRESHOLD_PCT:
+            enc_flips.append((name, flags, sp))
+    hist = last_json(logdir / "ab_hist.log")
+    if hist and "b_speedup_pct" in hist:
+        print(f"  ab_hist    (stride 8 vs 1, informational) B speedup {hist['b_speedup_pct']:+6.2f}%")
+
+    print("decisions (playbook, threshold %+.1f%%):" % THRESHOLD_PCT)
+    if best_name and best_sp >= THRESHOLD_PCT:
+        print(f"  FLIP decode default -> {decode_combos[best_name]} ({best_name}: {best_sp:+.2f}%)")
+        print("    edit: decode_bitserial_pallas call in tpu_codec._decode_full;")
+        print("    then pytest tests/test_pallas_interpret.py tests/test_tpu_codec.py -q")
+    else:
+        print(f"  decode: no combo clears the bar (best {best_name}: {best_sp:+.2f}%)" if best_name
+              else "  decode: no parseable combo results")
+    for name, flags, sp in enc_flips:
+        print(f"  FLIP encode default -> {flags} ({name}: {sp:+.2f}%)")
+    if not enc_flips:
+        print("  encode: no variant clears the bar")
+
+    b = last_json(logdir / "bench.log")
+    if b:
+        print(f"headline: value={b.get('value')} GiB/s vs_baseline={b.get('vs_baseline')}"
+              + (f" detail={b['detail']}" if b.get("detail") else ""))
+    for extra in ("small", "streaming", "batched", "suite", "hist_exp", "smoke"):
+        p = logdir / f"{extra}.log"
+        if p.exists():
+            tail = p.read_text(errors="replace").strip().splitlines()
+            print(f"{extra}: rc={rcs.get(extra, '?')} last='{tail[-1][:120] if tail else ''}'")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
