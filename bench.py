@@ -102,10 +102,12 @@ def _watchdog() -> None:
 
 
 def _biased_bytes(n: int, seed: int = 0) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    p = 0.8 ** np.arange(256) * 0.2
-    p /= p.sum()
-    return rng.choice(256, size=n, p=p).astype(np.uint8)
+    # Canonical definition lives in workloads.py (shared with every
+    # tools/ measurement script); imported lazily so module import stays
+    # trivially cheap for the supervisor/probe paths.
+    from huffman_tpu.bench.workloads import biased_u8
+
+    return biased_u8(n, seed)
 
 
 def run(prewarm: bool = False) -> None:

@@ -37,11 +37,7 @@ import numpy as np
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 
-def biased_bytes(n: int, seed: int = 0) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    p = 0.8 ** np.arange(256) * 0.2
-    p /= p.sum()
-    return rng.choice(256, size=n, p=p).astype(np.uint8)
+from huffman_tpu.bench.workloads import biased_u8 as biased_bytes
 
 
 def ab_compare(fn_a, fn_b, *, rounds: int = 5, reps: int = 64,
@@ -167,6 +163,16 @@ def _encode_variant(data, s, k, w32, overrides: dict):
 
     from huffman_tpu.models.tpu_codec import _encode_full
 
+    # Unknown keys must be a hard error, not a silent no-op: a typo'd
+    # flag would otherwise build B identical to A and record a
+    # plausible-looking ~0% ratio (the decode side gets this for free —
+    # its unknown keys reach decode_bitserial_pallas and TypeError).
+    known = {"pallas", "hist_stride", "place_v2", "mxu_prefix"}
+    unknown = set(overrides) - known
+    if unknown:
+        raise SystemExit(
+            f"unknown encode override(s) {sorted(unknown)}; known: {sorted(known)}"
+        )
     use_pallas = overrides.get("pallas", 1) != 0
     hist_stride = overrides.get("hist_stride", 1)
     enc_flags = tuple(

@@ -1,10 +1,13 @@
 """Stage split of the production encode pipeline on the real chip.
 
 Times, with the in-jit repetition harness (same methodology as bench.py):
-  hist   — histogram256 on the padded block
+  hist/1 — exact histogram256 on the block (for comparison)
+  hist/S — the production sampled table histogram (_table_hist at the
+           codec's auto hist_stride for this size)
   table  — build_coding_device given the histogram
   kernel — _encode_with_tables_body given the table
-  full   — _encode_full (all three fused in one program)
+  full   — _encode_full at the production hist_stride (what bench.py
+           and encode_device actually dispatch)
 
 The sum of the parts can exceed `full` (XLA overlaps stages inside one
 program); the split bounds where per-block overhead lives vs the
@@ -29,16 +32,13 @@ from huffman_tpu.models.tpu_codec import (
     TpuCodec,
     _encode_full,
     _encode_with_tables_body,
+    _table_hist,
 )
 from huffman_tpu.ops.lookup import histogram256
 from huffman_tpu.ops.table_build import build_coding_device
 
 
-def biased(n, seed=0):
-    rng = np.random.default_rng(seed)
-    p = 0.8 ** np.arange(256) * 0.2
-    p /= p.sum()
-    return rng.choice(256, size=n, p=p).astype(np.uint8)
+from huffman_tpu.bench.workloads import biased_u8 as biased
 
 
 def main():
@@ -47,16 +47,26 @@ def main():
     k = codec._lanes(n)
     s = -(-n // k)
     w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
+    # The production dispatch samples the table histogram above the
+    # auto threshold (hist_stride); the split must time THAT pipeline,
+    # not the exact-histogram one bench.py no longer runs — the exact
+    # pass is reported separately as hist/1 for comparison.
+    hs = codec._hist_stride(n)
     data = jnp.asarray(biased(n))
     hist0 = histogram256(data)
     t0 = build_coding_device(hist0)
     enc_table = t0["enc_table"]
-    print(f"n={n} k={k} s={s} w32={w32}")
+    print(f"n={n} k={k} s={s} w32={w32} hist_stride={hs}")
 
     def t_hist(pert):
         return jnp.sum(histogram256(data + pert.astype(jnp.uint8))).astype(
             jnp.float32
         )
+
+    def t_hist_prod(pert):
+        return jnp.sum(
+            _table_hist(data + pert.astype(jnp.uint8), hs)
+        ).astype(jnp.float32)
 
     def t_table(pert):
         t = build_coding_device(hist0 + pert)
@@ -69,13 +79,16 @@ def main():
         return (jnp.sum(w) + jnp.sum(b)).astype(jnp.float32)
 
     def t_full(pert):
-        w, b, t = _encode_full(data + pert.astype(jnp.uint8), s, k, w32, True)
+        w, b, t = _encode_full(
+            data + pert.astype(jnp.uint8), s, k, w32, True, hs
+        )
         return (jnp.sum(w) + jnp.sum(b) + jnp.sum(t["enc_table"])).astype(
             jnp.float32
         )
 
     for name, fn in [
-        ("hist", t_hist),
+        ("hist/1", t_hist),
+        (f"hist/{hs}", t_hist_prod),
         ("table", t_table),
         ("kernel", t_kernel),
         ("full", t_full),

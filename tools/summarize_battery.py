@@ -105,7 +105,9 @@ def main() -> int:
     print("decisions (playbook, threshold %+.1f%%):" % THRESHOLD_PCT)
     if best_name and best_sp >= THRESHOLD_PCT:
         print(f"  FLIP decode default -> {decode_combos[best_name]} ({best_name}: {best_sp:+.2f}%)")
-        print("    edit: decode_bitserial_pallas call in tpu_codec._decode_full;")
+        print("    edit: the flag DEFAULTS in decode_bitserial_pallas's signature")
+        print("    (ops/decode_pallas.py) so every caller — _decode_full, the")
+        print("    batched path, parallel/sharded.py — picks it up at once;")
         print("    then pytest tests/test_pallas_interpret.py tests/test_tpu_codec.py -q")
     else:
         print(f"  decode: no combo clears the bar (best {best_name}: {best_sp:+.2f}%)" if best_name
