@@ -45,6 +45,9 @@ step ab_hist    1200 python tools/ab.py encode --a hist_stride=1 --b hist_stride
 # Histogram variant race (C5 analog evidence).
 step hist_exp   1200 python tools/hist_experiments.py 16
 
+# Encode stage split at the production hist_stride (encode roofline input).
+step enc_stages 1200 python tools/probe_encode_stages.py 16
+
 # Headline + suites (conservative numbers BEFORE any default flips).
 step bench      1200 python bench.py --once
 step suite      1800 python tools/run_benchmarks.py --size 4194304

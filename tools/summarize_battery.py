@@ -121,7 +121,7 @@ def main() -> int:
     if b:
         print(f"headline: value={b.get('value')} GiB/s vs_baseline={b.get('vs_baseline')}"
               + (f" detail={b['detail']}" if b.get("detail") else ""))
-    for extra in ("small", "streaming", "batched", "suite", "hist_exp", "smoke"):
+    for extra in ("small", "streaming", "batched", "suite", "hist_exp", "enc_stages", "smoke"):
         p = logdir / f"{extra}.log"
         if p.exists():
             tail = p.read_text(errors="replace").strip().splitlines()
