@@ -24,11 +24,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def biased(n, seed=0):
-    rng = np.random.default_rng(seed)
-    p = 0.8 ** np.arange(256) * 0.2
-    p /= p.sum()
-    return rng.choice(256, size=n, p=p).astype(np.uint8)
+from huffman_tpu.bench.workloads import biased_u8 as biased
 
 
 def main():

@@ -27,11 +27,7 @@ from huffman_tpu.ops.lookup import histogram256, lookup256
 from huffman_tpu.ops.decode_words import pack_u16_words_to_u32
 
 
-def biased(n, seed=0):
-    rng = np.random.default_rng(seed)
-    p = 0.8 ** np.arange(256) * 0.2
-    p /= p.sum()
-    return rng.choice(256, size=n, p=p).astype(np.uint8)
+from huffman_tpu.bench.workloads import biased_u8 as biased
 
 
 def timed(name, make_fn, n_bytes, reps=8):
