@@ -22,8 +22,27 @@ import pytest
 
 _CHILD = textwrap.dedent(
     """
+    import os
     import sys
+    import threading
+    import time
+
     import numpy as np
+
+    # A dead tunnel hangs backend init forever (no exception to catch),
+    # so bound THAT phase with a watchdog thread — the same pattern as
+    # bench.py --probe.  Compiles after init keep the parent's longer
+    # subprocess timeout.
+    init_done = [False]
+
+    def _watchdog():
+        time.sleep(float(os.environ.get("SMOKE_INIT_DEADLINE_S", "120")))
+        if not init_done[0]:
+            print("SMOKE_SKIP: backend init exceeded deadline (dead tunnel)")
+            sys.stdout.flush()
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
 
     try:
@@ -31,6 +50,7 @@ _CHILD = textwrap.dedent(
     except Exception as e:  # no live backend at all (e.g. axon init failure)
         print("SMOKE_SKIP: backend init failed: %s" % e)
         sys.exit(0)
+    init_done[0] = True
     if backend == "cpu":
         print("SMOKE_SKIP: cpu backend only")
         sys.exit(0)
