@@ -32,7 +32,7 @@ Supervisor (default entry): prints a provisional null line immediately
 (hard-kill insurance), runs the measurement in fresh child processes,
 and on probe-stage hangs polls the tunnel with cheap ``--probe``
 children until it recovers or BENCH_SUPERVISOR_BUDGET_S (default
-3000 s) nears exhaustion.  Failure lines carry ``last_known_good`` from
+1500 s) nears exhaustion.  Failure lines carry ``last_known_good`` from
 ``benchmarks/last_good.json``, which every successful run refreshes.
 """
 
@@ -260,7 +260,13 @@ def _supervise() -> int:
     """
     import subprocess
 
-    budget = float(os.environ.get("BENCH_SUPERVISOR_BUDGET_S", "3000"))
+    # Default budget balances two risks: a longer budget catches a tunnel
+    # revival mid-run, but r01 shows the DRIVER kills long runs (rc 124,
+    # empty stdout — worse than a self-emitted failure line).  r02's two
+    # ~20-minute attempts were tolerated, so 25 min is inside demonstrated
+    # patience; a guaranteed failure line with ``last_known_good`` beats a
+    # maybe-longer wait that risks recording nothing.
+    budget = float(os.environ.get("BENCH_SUPERVISOR_BUDGET_S", "1500"))
     reserve = 420.0  # keep room for one final full attempt + emit
     t0 = time.monotonic()
     here = os.path.abspath(__file__)
