@@ -15,6 +15,14 @@ probe() {
 
 step() {  # step NAME TIMEOUT CMD...
   local name=$1 tmo=$2; shift 2
+  # Optional wall-clock deadline (epoch seconds in $LOG/deadline_epoch):
+  # the round driver runs its own bench.py when turns expire, and two
+  # concurrent TPU jobs through the single tunneled chip corrupt each
+  # other's sustained timings — stop cleanly before that can overlap.
+  if [ -f "$LOG/deadline_epoch" ] && [ "$(date +%s)" -gt "$(cat "$LOG/deadline_epoch")" ]; then
+    echo "DEADLINE PASSED before step $name — stopping battery" | tee -a "$LOG/status.txt"
+    exit 4
+  fi
   if ! probe; then
     echo "TUNNEL DEAD before step $name — aborting battery" | tee -a "$LOG/status.txt"
     exit 2
