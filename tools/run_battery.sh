@@ -37,6 +37,10 @@ step() {  # step NAME TIMEOUT CMD...
 # Warm the compile cache + refresh last_good.json first.
 step prewarm    1800 python tools/prewarm_bench.py
 
+# Headline immediately after prewarm: a late tunnel revival must secure
+# a fresh committed measurement before anything optional runs.
+step bench      1200 python bench.py --once
+
 # Decode kernel A/Bs (VERDICT item 2; production vs staged variants).
 step ab_legacy  1200 python tools/ab.py decode --b legacy_pack=1 --size 16777216 --rounds 5
 step ab_r1      1200 python tools/ab.py decode --b fuse_r1=1 --size 16777216 --rounds 5
@@ -56,8 +60,8 @@ step hist_exp   1200 python tools/hist_experiments.py 16
 # Encode stage split at the production hist_stride (encode roofline input).
 step enc_stages 1200 python tools/probe_encode_stages.py 16
 
-# Headline + suites (conservative numbers BEFORE any default flips).
-step bench      1200 python bench.py --once
+# Suites (conservative numbers BEFORE any default flips; headline ran
+# right after prewarm).
 step suite      1800 python tools/run_benchmarks.py --size 4194304
 step small      1500 python tools/bench_small.py
 step streaming  1800 python tools/bench_streaming.py
