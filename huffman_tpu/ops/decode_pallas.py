@@ -636,7 +636,7 @@ def decode_bitserial_pallas(
     legacy_pack: bool = False,
     fuse_r1: bool = False,
     fuse_s3: bool = False,
-    fuse_r2: bool = False,
+    fuse_r2: bool = True,
     val_rounds: bool = False,
     step_words=None,
 ):
@@ -684,10 +684,14 @@ def decode_bitserial_pallas(
         step_words = jnp.full((n_steps,), W, _I32)
     if out_u8:
         assert debug_stages == 3, "u8 output only for the full kernel"
-    if fuse_r1 or fuse_s3 or fuse_r2 or val_rounds:
-        assert not dyn_rounds and not legacy_pack, (
-            "fuse_r1/fuse_r2/fuse_s3/val_rounds are static-round-schedule variants"
+    if dyn_rounds or legacy_pack:
+        # Old-schedule reference variants (kept for A/B): they don't
+        # compose with the fused static-round flags, so an explicit
+        # legacy/dyn request overrides the fuse_r2-on production default.
+        assert not val_rounds, (
+            "val_rounds is a static-round-schedule variant"
         )
+        fuse_r1 = fuse_s3 = fuse_r2 = False
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
         syms_identity, dev_slots, out_u8, dyn_rounds, legacy_pack,

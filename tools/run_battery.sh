@@ -41,13 +41,12 @@ step prewarm    1800 python tools/prewarm_bench.py
 # a fresh committed measurement before anything optional runs.
 step bench      1200 python bench.py --once
 
-# Decode kernel A/Bs (VERDICT item 2; production vs staged variants).
-step ab_legacy  1200 python tools/ab.py decode --b legacy_pack=1 --size 16777216 --rounds 5
-step ab_r1      1200 python tools/ab.py decode --b fuse_r1=1 --size 16777216 --rounds 5
-step ab_r2      1200 python tools/ab.py decode --b fuse_r2=1 --size 16777216 --rounds 5
-step ab_r2s3    1200 python tools/ab.py decode --b fuse_r2=1,fuse_s3=1 --size 16777216 --rounds 5
-step ab_val     1200 python tools/ab.py decode --b val_rounds=1 --size 16777216 --rounds 5
-step ab_r2val   1200 python tools/ab.py decode --b fuse_r2=1,val_rounds=1 --size 16777216 --rounds 5
+# Decode kernel A/Bs (VERDICT item 2). Run-1 (benchmarks/r3_battery_log_run1)
+# already measured legacy_pack (-7.6%), fuse_r1 (+4.2%), fuse_r2 (+14.0%,
+# flipped to production default), fuse_r2+fuse_s3 (+12.1%); remaining:
+# val_rounds on top of the new fuse_r2 production default.
+step ab_val     1200 python tools/ab.py decode --b val_rounds=1,fuse_r2=0 --size 16777216 --rounds 5
+step ab_r2val   1200 python tools/ab.py decode --b val_rounds=1 --size 16777216 --rounds 5
 
 # Encode kernel A/Bs (flag-gated variants staged earlier this round).
 step ab_place   1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,place_v2=1 --size 16777216 --rounds 5
