@@ -34,12 +34,12 @@ step() {  # step NAME TIMEOUT CMD...
   tail -3 "$LOG/$name.log" | sed 's/^/    /'
 }
 
-# Warm the compile cache + refresh last_good.json first.
+# Warm the compile cache + refresh last_good.json first.  The post-flip
+# headline (8.19 GiB/s, 2026-08-18 12:20Z) is already secured in
+# benchmarks/last_good.json + r3_battery_log/bench.log, so no separate
+# bench step — prewarm's own measurement refresh is enough and the
+# tunnel's short up-windows are better spent on the pending A/Bs.
 step prewarm    1800 python tools/prewarm_bench.py
-
-# Headline immediately after prewarm: a late tunnel revival must secure
-# a fresh committed measurement before anything optional runs.
-step bench      1200 python bench.py --once
 
 # Decode kernel A/Bs (VERDICT item 2). Run-1 (benchmarks/r3_battery_log_run1)
 # already measured legacy_pack (-7.6%), fuse_r1 (+4.2%), fuse_r2 (+14.0%,
