@@ -11,7 +11,14 @@ while true; do
   if timeout 90 python bench.py --probe >/dev/null 2>&1; then
     echo "TUNNEL UP $(date -u +%H:%M:%S) — starting battery" | tee -a "$LOG/status.txt"
     bash tools/run_battery.sh "$LOG"
-    exit $?
+    rc=$?
+    # rc=2 means the tunnel died mid-battery: resume polling and let the
+    # (resumable) battery pick up the remaining steps on the next
+    # up-window.  Anything else (0 complete, 4 deadline) ends the poller.
+    if [ "$rc" -ne 2 ]; then
+      exit "$rc"
+    fi
+    echo "battery aborted on dead tunnel — resuming poll" | tee -a "$LOG/status.txt"
   fi
   NOW=$(date +%s)
   echo "tunnel still down $(date -u +%H:%M:%S)" >> "$LOG/poll.txt"

@@ -15,6 +15,14 @@ probe() {
 
 step() {  # step NAME TIMEOUT CMD...
   local name=$1 tmo=$2; shift 2
+  # Resumable: a step that already completed (rc=0 in status.txt) is
+  # skipped, so a battery re-launched after a mid-run tunnel death picks
+  # up where it died instead of redoing prewarm/A/Bs in the next short
+  # up-window.
+  if grep -q "=== $name rc=0" "$LOG/status.txt" 2>/dev/null; then
+    echo "=== $name already done — skipping" | tee -a "$LOG/status.txt"
+    return 0
+  fi
   # Optional wall-clock deadline (epoch seconds in $LOG/deadline_epoch):
   # the round driver runs its own bench.py when turns expire, and two
   # concurrent TPU jobs through the single tunneled chip corrupt each
