@@ -57,12 +57,16 @@ def main() -> int:
     logdir = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "benchmarks/r3_battery_log")
     rcs = step_rcs(logdir)
 
+    # NOTE: fuse_r2 became the production DEFAULT after run-1 measured it
+    # +14.0% (benchmarks/r3_battery_log_run1).  A-side "production" in any
+    # later log therefore already includes fuse_r2; the remaining decode
+    # questions are val_rounds alone (fuse_r2=0) and on top of fuse_r2.
     decode_combos = {
         "ab_r1": "fuse_r1=1",
         "ab_r2": "fuse_r2=1",
         "ab_r2s3": "fuse_r2=1,fuse_s3=1",
-        "ab_val": "val_rounds=1",
-        "ab_r2val": "fuse_r2=1,val_rounds=1",
+        "ab_val": "val_rounds=1,fuse_r2=0",
+        "ab_r2val": "val_rounds=1 (+fuse_r2 default)",
     }
     encode_combos = {"ab_place": "place_v2=1", "ab_mxu": "mxu_prefix=1"}
 
