@@ -686,12 +686,19 @@ def decode_bitserial_pallas(
         assert debug_stages == 3, "u8 output only for the full kernel"
     if dyn_rounds or legacy_pack:
         # Old-schedule reference variants (kept for A/B): they don't
-        # compose with the fused static-round flags, so an explicit
-        # legacy/dyn request overrides the fuse_r2-on production default.
+        # compose with the fused static-round flags.  Only the fuse_r2
+        # PRODUCTION DEFAULT is auto-cleared; a fuse flag explicitly set
+        # away from its default alongside legacy/dyn is a contradictory
+        # request and must be a hard error, not a silent no-op that
+        # records a plausible-looking A/B ratio for the wrong kernel.
         assert not val_rounds, (
             "val_rounds is a static-round-schedule variant"
         )
-        fuse_r1 = fuse_s3 = fuse_r2 = False
+        if fuse_r1 or fuse_s3:
+            raise ValueError(
+                "fuse_r1/fuse_s3 do not compose with legacy_pack/dyn_rounds"
+            )
+        fuse_r2 = False
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
         syms_identity, dev_slots, out_u8, dyn_rounds, legacy_pack,

@@ -18,9 +18,13 @@ step() {  # step NAME TIMEOUT CMD...
   # Resumable: a step that already completed (rc=0 in status.txt) is
   # skipped, so a battery re-launched after a mid-run tunnel death picks
   # up where it died instead of redoing prewarm/A/Bs in the next short
-  # up-window.
-  if grep -q "=== $name rc=0" "$LOG/status.txt" 2>/dev/null; then
-    echo "=== $name already done — skipping" | tee -a "$LOG/status.txt"
+  # up-window.  The skip key includes a hash of the step's COMMAND, so
+  # editing a step's definition (flags, sizes) invalidates its old rc=0
+  # line instead of silently skipping the new measurement.
+  local h
+  h=$(echo "$*" | sha1sum | cut -c1-8)
+  if grep -q "=== $name#$h rc=0" "$LOG/status.txt" 2>/dev/null; then
+    echo "=== $name#$h already done — skipping" | tee -a "$LOG/status.txt"
     return 0
   fi
   # Optional wall-clock deadline (epoch seconds in $LOG/deadline_epoch):
@@ -35,10 +39,10 @@ step() {  # step NAME TIMEOUT CMD...
     echo "TUNNEL DEAD before step $name — aborting battery" | tee -a "$LOG/status.txt"
     exit 2
   fi
-  echo "=== $name start $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
+  echo "=== $name#$h start $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
   timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1
   local rc=$?
-  echo "=== $name rc=$rc $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
+  echo "=== $name#$h rc=$rc $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
   tail -3 "$LOG/$name.log" | sed 's/^/    /'
 }
 
@@ -53,7 +57,7 @@ step prewarm    1800 python tools/prewarm_bench.py
 # already measured legacy_pack (-7.6%), fuse_r1 (+4.2%), fuse_r2 (+14.0%,
 # flipped to production default), fuse_r2+fuse_s3 (+12.1%); remaining:
 # val_rounds on top of the new fuse_r2 production default.
-step ab_val     1200 python tools/ab.py decode --b val_rounds=1,fuse_r2=0 --size 16777216 --rounds 5
+step ab_val     1200 python tools/ab.py decode --a fuse_r2=0 --b fuse_r2=0,val_rounds=1 --size 16777216 --rounds 5
 step ab_r2val   1200 python tools/ab.py decode --b val_rounds=1 --size 16777216 --rounds 5
 
 # Encode kernel A/Bs (flag-gated variants staged earlier this round).
