@@ -147,37 +147,66 @@ def _huffman_code_lengths(counts_desc: np.ndarray) -> np.ndarray:
     return lens
 
 
-def limit_code_lengths(len_count: np.ndarray) -> np.ndarray:
-    """Cap code lengths at MAX_CODE_LEN, repairing the Kraft sum.
+def limit_code_lengths(
+    len_count: np.ndarray, max_len: int = MAX_CODE_LEN
+) -> np.ndarray:
+    """Cap code lengths at ``max_len``, repairing the Kraft sum.
 
     The "MiniZ" method (reference: huffman.cpp:294-327): fold all
-    over-length counts into the MAX_CODE_LEN bucket, then while the Kraft
+    over-length counts into the max_len bucket, then while the Kraft
     sum exceeds 1, remove one max-length code and split one shorter code
     into two codes one bit longer.
+
+    The repair demotes the DEEPEST available shorter code, which is far
+    from cost-optimal when many codes fold (each unit of Kraft excess
+    cascades another demotion).  Feed `clamp_hist`-ed counts to keep the
+    repair from running at all — the clamped tree is then the
+    package-merge optimum on every corpus we measured (RESULTS.md).
     """
     lc = len_count.astype(np.int64).copy()
-    lc[MAX_CODE_LEN] += lc[MAX_CODE_LEN + 1 :].sum()
-    lc[MAX_CODE_LEN + 1 :] = 0
-    one = 1 << MAX_CODE_LEN
-    kraft = int((lc[: MAX_CODE_LEN + 1] << (MAX_CODE_LEN - np.arange(MAX_CODE_LEN + 1))).sum())
+    lc[max_len] += lc[max_len + 1 :].sum()
+    lc[max_len + 1 :] = 0
+    one = 1 << max_len
+    kraft = int((lc[: max_len + 1] << (max_len - np.arange(max_len + 1))).sum())
     while kraft > one:
-        lc[MAX_CODE_LEN] -= 1
-        for j in range(MAX_CODE_LEN - 1, -1, -1):
+        lc[max_len] -= 1
+        for j in range(max_len - 1, -1, -1):
             if lc[j] > 0:
                 lc[j] -= 1
                 lc[j + 1] += 2
                 break
         kraft -= 1
     assert kraft == one or lc.sum() == 0
-    return lc[: MAX_CODE_LEN + 1].astype(np.uint16)
+    return lc[: max_len + 1].astype(np.uint16)
 
 
-def assign_canonical_codes(len_count: np.ndarray, sorted_syms: np.ndarray):
+def clamp_hist(hist: np.ndarray, max_len: int) -> np.ndarray:
+    """Raise every nonzero count to at least ``total >> max_len``.
+
+    A symbol with probability below 2^-max_len must sit at depth max_len
+    in any length-limited code anyway, so pre-clamping its count to that
+    floor loses nothing — and the unlimited Huffman tree over clamped
+    counts lands (near-)within max_len on its own, so `limit_code_lengths`
+    has (almost) nothing to repair.  Measured on the benchmark corpora the
+    result matches the package-merge optimum exactly (repair iterations
+    drop ~200 -> 0); without the clamp the MiniZ repair's cascading
+    demotions cost up to 5% compressed size on full-alphabet (smoothed
+    sampled-histogram) inputs.  The threshold uses the PRE-clamp total,
+    keeping the transform a pure elementwise function of (hist, total).
+    """
+    h = np.asarray(hist, dtype=np.int64)
+    floor = max(1, int(h.sum()) >> max_len)
+    return np.where(h > 0, np.maximum(h, floor), 0)
+
+
+def assign_canonical_codes(
+    len_count: np.ndarray, sorted_syms: np.ndarray, max_len: int = MAX_CODE_LEN
+):
     """Enumerate canonical codes (reference: ``ForallCodes`` huffman.cpp:260-284).
 
     Codes are assigned in `sorted_syms` order grouped by ascending length:
-    ``code += 1 << (MAX_CODE_LEN - len)`` after each symbol.  The code value
-    is stored left-aligned in a MAX_CODE_LEN-bit field.
+    ``code += 1 << (max_len - len)`` after each symbol.  The code value
+    is stored left-aligned in a max_len-bit field.
 
     Returns (code_bits uint16[256], code_lens uint8[256]).
     """
@@ -185,8 +214,8 @@ def assign_canonical_codes(len_count: np.ndarray, sorted_syms: np.ndarray):
     code_lens = np.zeros(NUM_SYMBOLS, dtype=np.uint8)
     current = 0
     i = 0
-    for ln in range(MAX_CODE_LEN + 1):
-        inc = 1 << (MAX_CODE_LEN - ln)
+    for ln in range(max_len + 1):
+        inc = 1 << (max_len - ln)
         for _ in range(int(len_count[ln])):
             s = int(sorted_syms[i])
             code_bits[s] = current
@@ -194,13 +223,22 @@ def assign_canonical_codes(len_count: np.ndarray, sorted_syms: np.ndarray):
             current += inc
             i += 1
     if i:
-        assert current == (1 << MAX_CODE_LEN), (current, len_count)
+        assert current == (1 << max_len), (current, len_count)
     return code_bits, code_lens
 
 
-def make_canonical_coding(hist: np.ndarray) -> CanonicalCoding:
-    """Histogram -> canonical coding (reference: huffman.cpp:339-437)."""
+def make_canonical_coding(
+    hist: np.ndarray, max_len: int = MAX_CODE_LEN, clamp: bool = False
+) -> CanonicalCoding:
+    """Histogram -> canonical coding (reference: huffman.cpp:339-437).
+
+    Defaults reproduce the reference byte-for-byte (``ref`` profile).  The
+    TPU profile passes ``max_len=TPU_MAX_CODE_LEN, clamp=True`` for the
+    deeper, repair-free construction (see `clamp_hist`).
+    """
     hist = np.asarray(hist, dtype=np.uint64)
+    if clamp:
+        hist = clamp_hist(hist, max_len).astype(np.uint64)
     present = np.nonzero(hist)[0]
     num_syms = len(present)
     if num_syms == 0:
@@ -208,7 +246,7 @@ def make_canonical_coding(hist: np.ndarray) -> CanonicalCoding:
             code_bits=np.zeros(NUM_SYMBOLS, dtype=np.uint16),
             code_lens=np.zeros(NUM_SYMBOLS, dtype=np.uint8),
             sorted_syms=np.zeros(0, dtype=np.uint8),
-            len_count=np.zeros(MAX_CODE_LEN + 1, dtype=np.uint16),
+            len_count=np.zeros(max_len + 1, dtype=np.uint16),
             len_mask=0,
             num_syms=0,
         )
@@ -220,7 +258,7 @@ def make_canonical_coding(hist: np.ndarray) -> CanonicalCoding:
 
     lens_by_freq = _huffman_code_lengths(counts_desc)
     len_count_raw = np.bincount(lens_by_freq, minlength=MAX_OPTIMAL_CODE_LEN + 1)
-    len_count = limit_code_lengths(len_count_raw)
+    len_count = limit_code_lengths(len_count_raw, max_len)
 
     # After limiting, re-derive per-symbol lengths: lengths still ascend in
     # freq-descending order, so symbols keep their rank; only lengths change.
@@ -228,10 +266,10 @@ def make_canonical_coding(hist: np.ndarray) -> CanonicalCoding:
     # which for an ascending length assignment over freq-sorted symbols is
     # exactly syms_by_freq itself.
     sorted_syms = syms_by_freq
-    code_bits, code_lens = assign_canonical_codes(len_count, sorted_syms)
+    code_bits, code_lens = assign_canonical_codes(len_count, sorted_syms, max_len)
 
     len_mask = 0
-    for ln in range(MAX_CODE_LEN + 1):
+    for ln in range(max_len + 1):
         if len_count[ln]:
             len_mask |= 1 << ln
     return CanonicalCoding(

@@ -13,6 +13,16 @@ construction and therefore the same limits.
 # byte-compatible.
 MAX_CODE_LEN = 12
 
+# Maximum canonical code length for the TPU format profile (HTP3).  The
+# 12-bit cap above is a *reference wire-format* constraint (nibble-packed
+# lengths, 2^12 decode table); the TPU profile has neither — its decoder
+# is table-free (canonical-boundary compares) and its header stores
+# lengths in a bitmask with room to 23.  15 bits cuts the length-limiting
+# ratio loss (~0.3-0.6% on the benchmark corpora at 12) and, combined
+# with histogram clamping (`clamp_hist`), makes full-alphabet sampled
+# tables cost < 1% vs exact — see benchmarks/RESULTS.md.
+TPU_MAX_CODE_LEN = 15
+
 # Length assigned by the unconstrained Huffman build before limiting.  The
 # reference assumes <= 32 (codec/huffman.cpp:41-42), which adversarially
 # skewed histograms (Fibonacci-like counts) can exceed; 64 is safe for any

@@ -69,6 +69,19 @@ from ..ops.table_build import build_coding_device
 MAGIC = 0x48545033  # 'HTP3'
 
 
+@jax.jit
+def _meta_pack(bit_counts, len_count, num_syms, sorted_syms):
+    """Pack every host-needed metadata scalar into one int32 vector:
+    [max_bits, num_syms, len_count[0:14], sorted_syms[0:256]] — fetched
+    by `TpuCompressed.meta` in a single device->host transfer."""
+    head = jnp.stack(
+        [jnp.max(bit_counts), num_syms.astype(jnp.int32)]
+    ).astype(jnp.int32)
+    return jnp.concatenate(
+        [head, len_count.astype(jnp.int32), sorted_syms.astype(jnp.int32)]
+    )
+
+
 def _pallas_ok(k: int) -> bool:
     return jax.default_backend() != "cpu" and k % 1024 == 0
 
@@ -104,19 +117,34 @@ class TpuCompressed:
     k: int
     tables: dict  # device table state (build_coding_device layout)
     _meta: dict | None = None  # lazy host metadata
+    _statics: tuple | None = None  # lazy decode_statics cache
 
     def meta(self) -> dict:
-        """Host metadata (one device sync, cached)."""
+        """Host metadata (ONE device sync, cached).
+
+        All scalars the host dispatch needs (max bits, table state) are
+        packed on device into one ~1 KiB int32 vector and fetched in a
+        single transfer: through the axon tunnel every fetch costs a
+        ~26 ms RTT, and the naive version (separate np.asarray per
+        field) also shipped the whole (K,) bit-count array — 512 KiB at
+        K=131072 — just to take its max."""
         if self._meta is None:
-            bits = np.asarray(self.bit_counts)
-            lc = np.asarray(self.tables["len_count"])
+            packed = np.asarray(
+                _meta_pack(
+                    self.bit_counts,
+                    self.tables["len_count"],
+                    self.tables["num_syms"],
+                    self.tables["sorted_syms"],
+                )
+            )
+            lc = packed[2 : 2 + MAX_CODE_LEN + 1]
             nz = np.nonzero(lc[1:])[0]
             self._meta = {
-                "max_bits": int(bits.max()) if bits.size else 0,
+                "max_bits": int(packed[0]),
                 "l_min": int(nz[0]) + 1 if len(nz) else 1,
-                "num_syms": int(np.asarray(self.tables["num_syms"])),
+                "num_syms": int(packed[1]),
                 "len_count": lc,
-                "sorted_syms": np.asarray(self.tables["sorted_syms"]),
+                "sorted_syms": packed[2 + MAX_CODE_LEN + 1 :],
             }
         return self._meta
 
@@ -456,7 +484,9 @@ class TpuCodec:
         if m["num_syms"] <= 1:
             sym = int(m["sorted_syms"][0]) if m["num_syms"] else 0
             return jnp.full((n,), sym, jnp.uint8)
-        group, w, spec, syms_identity, dev_slots, dev_rd = decode_statics(m, s)
+        if comp._statics is None:
+            comp._statics = decode_statics(m, s)
+        group, w, spec, syms_identity, dev_slots, dev_rd = comp._statics
         words = comp.words
         if words.shape[0] < w:
             words = jnp.concatenate(
