@@ -124,7 +124,7 @@ def run(prewarm: bool = False) -> None:
     import jax.numpy as jnp
 
     from huffman_tpu.models.tpu_codec import TpuCodec, _encode_full, _decode_full
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
     from huffman_tpu.bench.harness import sustained_seconds
 
     # Probe: one trivial fetch proves the tunnel is up and measures the

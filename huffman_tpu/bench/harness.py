@@ -101,7 +101,7 @@ def bench_tpu_codec(codec, raw: bytes, reps: int = 32) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from ..constants import MAX_CODE_LEN
+    from ..constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
     from ..models.tpu_codec import (
         _decode_full,
         _encode_full,

@@ -52,7 +52,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import coding
-from ..constants import MAX_CODE_LEN
+# The tpu profile limits codes at TPU_MAX_CODE_LEN (15): deeper than the
+# reference's 12 because this profile's decoder is table-free and its
+# header mask has room — see constants.py.  Wire compat: the serialized
+# layout stores only len_count + payload bits, so 12-limited blobs from
+# earlier builds parse and decode unchanged through the 15-sized tables.
+from ..constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 from ..ops.decode_bits import decode_bitserial, decode_tables_bitserial
 from ..ops.decode_pallas import (
     DENSE_SPEC,
@@ -155,7 +160,9 @@ class TpuCompressed:
         num_syms = m["num_syms"]
         sorted_syms = m["sorted_syms"][:num_syms].astype(np.uint8)
         len_count = m["len_count"].astype(np.uint16)
-        code_bits, code_lens = coding.assign_canonical_codes(len_count, sorted_syms)
+        code_bits, code_lens = coding.assign_canonical_codes(
+            len_count, sorted_syms, MAX_CODE_LEN
+        )
         len_mask = 0
         for ln in range(MAX_CODE_LEN + 1):
             if len_count[ln]:
@@ -680,7 +687,10 @@ class TpuCodec:
             raise ValueError(f"{num_syms} symbols > 256")
         if num_syms > 1:
             kraft = int(
-                (len_count.astype(np.int64) << (MAX_CODE_LEN - np.arange(13))).sum()
+                (
+                    len_count.astype(np.int64)
+                    << (MAX_CODE_LEN - np.arange(MAX_CODE_LEN + 1))
+                ).sum()
             )
             if kraft != 1 << MAX_CODE_LEN:
                 raise ValueError("length counts violate Kraft equality")

@@ -35,7 +35,10 @@ import jax.numpy as jnp
 from .compaction import compact_packed
 from .lookup import lookup256
 
-from ..constants import MAX_CODE_LEN
+# TPU profile: deeper 15-bit limit (see constants.TPU_MAX_CODE_LEN).
+# The staged emit packs {valid flag (bit 15) | window (bits 14..0)} in a
+# uint16, so 15 is also the widest window this staging layout can carry.
+from ..constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 
 _I32 = jnp.int32
 
@@ -53,7 +56,12 @@ def decode_tables_bitserial(len_count, sorted_syms):
     """
     import numpy as np
 
-    lc = np.asarray(len_count, dtype=np.int64)
+    # Accept shorter len_count arrays (the ref profile limits at 12; zero
+    # counts above its limit make the boundaries saturate, so the 15-bit
+    # window decoder handles 12-limited streams unchanged).
+    lc_in = np.asarray(len_count, dtype=np.int64)
+    lc = np.zeros(MAX_CODE_LEN + 1, dtype=np.int64)
+    lc[: len(lc_in)] = lc_in
     e = np.zeros(MAX_CODE_LEN + 2, dtype=np.int64)
     base = np.zeros(MAX_CODE_LEN + 1, dtype=np.int64)  # codes shorter than l
     acc = 0
@@ -121,9 +129,9 @@ def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, ou
         slot_val = [jnp.zeros(lanes_shape, jnp.uint16)] * slots
         for j in range(32):
             if j == 0:
-                win = (cur >> 20).astype(_I32)
+                win = (cur >> (32 - MAX_CODE_LEN)).astype(_I32)
             else:
-                win = (((cur << j) | (nx >> (32 - j))) >> 20).astype(_I32)
+                win = (((cur << j) | (nx >> (32 - j))) >> (32 - MAX_CODE_LEN)).astype(_I32)
             # Length of the code starting at this bit: canonical-boundary
             # compares — feed-forward, off the serial path.
             ln = jnp.full(lanes_shape, group, _I32)
@@ -144,10 +152,10 @@ def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, ou
     staged = staged.reshape(W * slots, K)
 
     valid = (staged & 0x8000) != 0
-    wvals = (staged & 0x0FFF).astype(_I32)
+    wvals = (staged & ((1 << MAX_CODE_LEN) - 1)).astype(_I32)
     # Every lane emits >= out_len - 1 symbols, bounding displacements.
     codes, _counts = compact_packed(
-        wvals, valid, vbits=13, out_len=out_len,
+        wvals, valid, vbits=MAX_CODE_LEN + 1, out_len=out_len,
         max_disp=max(W * slots - out_len + 1, 1),
     )
 

@@ -28,10 +28,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import MAX_CODE_LEN
+# TPU profile: deeper 15-bit limit (see constants.TPU_MAX_CODE_LEN).
+from ..constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 
 _I32 = jnp.int32
 _BLK = 8  # sublane-groups (x128 lanes) per grid step
+# SMEM scalar layout: e_bound at [0 : MAX+2], g_rank at [_GOFF : _GOFF+MAX+1],
+# sparse rank->symbol deviation ranks at [_DRO : _DRO+16] and deltas at
+# [_DDO : _DDO+16].
+_GOFF = 20
+_DRO = 40
+_DDO = 56
 
 
 from .pallas_util import sds_like as _sds
@@ -215,16 +222,16 @@ def _make_decode_kernel(
                 # as the ab.py reference variant for the packed-in-scan
                 # rewrite; not reachable from production dispatch.
                 if legacy_pack:
-                    return (c2 << 12) | win
+                    return (c2 << MAX_CODE_LEN) | win
                 return ((win + 1) << db) | (rowbase + sl - c2)
 
             def full_at(j):
-                # Bits [j, j+12) end up in the top 12 after a later >> 20;
-                # while j <= 20 they live entirely inside `cur`, so the
-                # next-word funnel term is dead there.
+                # Bits [j, j+MAX) end up in the top MAX bits after a later
+                # >> (32-MAX); while j <= 32-MAX they live entirely inside
+                # `cur`, so the next-word funnel term is dead there.
                 if j == 0:
                     return cur
-                if j <= 20:
+                if j <= 32 - MAX_CODE_LEN:
                     return cur << j
                 return (cur << j) | (nx >> (32 - j))
 
@@ -250,7 +257,7 @@ def _make_decode_kernel(
                 # independent of the countdown — only the 3-op c update is
                 # serial, so the VPU pipelines the rest across bits.
                 for j in range(32):
-                    win = (full_at(j) >> 20).astype(_I32)
+                    win = (full_at(j) >> (32 - MAX_CODE_LEN)).astype(_I32)
                     parts = ln_parts(win)
                     ln = parts[0]
                     for t in parts[1:]:
@@ -280,7 +287,7 @@ def _make_decode_kernel(
                     for i in range(1, wd):
                         full_b = jnp.where(c == i, full_at(j0 + i), full_b)
                     bany = c < wd
-                    win = (full_b >> 20).astype(_I32)
+                    win = (full_b >> (32 - MAX_CODE_LEN)).astype(_I32)
                     if scan == "group_tree":
                         # Balanced-tree indicator sum: the chain sits ON
                         # the serial c -> select -> ln -> c path here, so
@@ -367,14 +374,14 @@ def _make_decode_kernel(
         # byte-packed pairs plus a parity select.
         def _stage3(codes):
             lw = jnp.ones(codes.shape, _I32)
-            g = jnp.full(codes.shape, scal_ref[0, 17], _I32)  # g_rank[1]
+            g = jnp.full(codes.shape, scal_ref[0, _GOFF + 1], _I32)  # g_rank[1]
             for l, m in spec:
                 ind = codes >= scal_ref[0, l]
                 lw = lw + (ind.astype(_I32) if m == 1 else jnp.where(ind, m, 0))
                 # Run l..l+m-1 shares one indicator; the telescoping g_rank
                 # deltas over the run combine into one span delta.
                 g = g + jnp.where(
-                    ind, scal_ref[0, 16 + l + m] - scal_ref[0, 16 + l], 0
+                    ind, scal_ref[0, _GOFF + l + m] - scal_ref[0, _GOFF + l], 0
                 )
             flat_rows = out_len * blk
             lw2 = lw.reshape(flat_rows, 128)
@@ -407,7 +414,7 @@ def _make_decode_kernel(
                 sym = rank
                 for i in range(dev_slots):
                     sym = sym + jnp.where(
-                        rank == scal_ref[0, 32 + i], scal_ref[0, 48 + i], 0
+                        rank == scal_ref[0, _DRO + i], scal_ref[0, _DDO + i], 0
                     )
                 out_ref[:] = _store(sym.reshape(out_len, blk, 128))
             else:
@@ -433,9 +440,12 @@ def _make_decode_kernel(
             staged = st_ref[:T]
             valid = staged >= 0
             row = jax.lax.broadcasted_iota(_I32, staged.shape, 0)
-            disp = row - (staged >> 12)
+            disp = row - (staged >> MAX_CODE_LEN)
             st_ref[:T] = jnp.where(
-                valid, (disp << 13) | ((staged & 0x0FFF) + 1), 0
+                valid,
+                (disp << (MAX_CODE_LEN + 1))
+                | ((staged & ((1 << MAX_CODE_LEN) - 1)) + 1),
+                0,
             )
             if pad:
                 st_ref[T : T + pad] = jnp.zeros((pad, blk, 128), _I32)
@@ -444,10 +454,10 @@ def _make_decode_kernel(
             def lround_(src, dst, sh):
                 base = src[:T]
                 xs = src[sh : sh + T]
-                arrive = ((xs >> 13) & sh) != 0
-                stay = ((base >> 13) & sh) == 0
+                arrive = ((xs >> (MAX_CODE_LEN + 1)) & sh) != 0
+                stay = ((base >> (MAX_CODE_LEN + 1)) & sh) == 0
                 dst[:T] = jnp.where(
-                    arrive, xs - (sh << 13), jnp.where(stay, base, 0)
+                    arrive, xs - (sh << (MAX_CODE_LEN + 1)), jnp.where(stay, base, 0)
                 )
 
             bufs = (st_ref, st2_ref)
@@ -457,7 +467,7 @@ def _make_decode_kernel(
                 lround_(bufs[cur], bufs[cur ^ 1], sh)
                 cur ^= 1
                 sh <<= 1
-            codes = (bufs[cur][:out_len] & 0x1FFF) - 1
+            codes = (bufs[cur][:out_len] & ((1 << (MAX_CODE_LEN + 1)) - 1)) - 1
             if debug_stages <= 2:
                 out_ref[:] = codes
                 return
@@ -656,14 +666,14 @@ def decode_bitserial_pallas(
     slots = -(-32 // group)
     t_rows = W * slots
 
-    scal = jnp.zeros((1, 64), _I32)
-    scal = scal.at[0, :14].set(e_bound.astype(_I32))
-    scal = scal.at[0, 16 : 16 + 13].set(g_rank.astype(_I32))
+    scal = jnp.zeros((1, 128), _I32)
+    scal = scal.at[0, : MAX_CODE_LEN + 2].set(e_bound.astype(_I32))
+    scal = scal.at[0, _GOFF : _GOFF + MAX_CODE_LEN + 1].set(g_rank.astype(_I32))
     if dev_slots:
-        # Sparse rank->symbol deviations: ranks at [32:32+dev_slots],
-        # deltas at [48:48+dev_slots]; pad rank -1 never matches.
+        # Sparse rank->symbol deviations: ranks at [_DRO:_DRO+dev_slots],
+        # deltas at [_DDO:_DDO+dev_slots]; pad rank -1 never matches.
         dr = jnp.full((32,), -1, _I32) if dev_rd is None else dev_rd.astype(_I32)
-        scal = scal.at[0, 32:64].set(dr)
+        scal = scal.at[0, _DRO : _DRO + 32].set(dr)
     # VMEM table: row 0 = rank->symbol byte-packed pairs (entry r holds
     # sym[2r] | sym[2r+1]<<8), so the post-pass needs one lane gather per
     # symbol; row 1 keeps the block sublane-even.
@@ -710,7 +720,7 @@ def decode_bitserial_pallas(
         kernel,
         grid=(KR // blk,),
         in_specs=[
-            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.SMEM),
             # Whole (n_steps,) array in SMEM each step (Mosaic requires
             # full-array rank-1 blocks); indexed by program_id above.
             pl.BlockSpec((n_steps,), lambda i: (0,), memory_space=pltpu.SMEM),

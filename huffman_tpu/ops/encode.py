@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .compaction import compact_lanes, compact_packed
+from ..constants import TPU_MAX_CODE_LEN as _L
 from .lookup import lookup256
 
 _U32 = jnp.uint32
@@ -69,13 +70,13 @@ def encode_lanes(byte_matrix, valid, enc_table):
       byte_matrix: (S, K) int32 — byte s of each lane's slice (dense,
         transposed layout).
       valid: (S, K) bool — real input bytes (False rows append nothing).
-      enc_table: (256,) int32 packed ``code<<4 | len`` (code 12-bit
-        left-aligned).
+      enc_table: (256,) int32 packed ``code<<4 | len`` (code
+        TPU_MAX_CODE_LEN-bit left-aligned; len <= 15 fits the nibble).
 
     Returns:
       words: (W16, K) int32 (uint16 range) — per-lane stream words, forward
         bit order, MSB-first; rows >= word_counts are zero.
-        W16 = ceil(S*12/16)+1.
+        W16 = ceil(S*_L/16)+1.
       word_counts: (K,) int32.
       bit_counts: (K,) int32 — exact stream bit length per lane (drives
         byte-exact sizing, the huffman.cpp:770-786 trick).
@@ -87,8 +88,8 @@ def encode_lanes(byte_matrix, valid, enc_table):
     entries = jnp.where(valid, lookup256(byte_matrix, enc_table), 0)
 
     lens = entries & 15
-    if K % 2 == 0 and S <= 5400:
-        # Two lanes per word (per-lane totals <= 12*S < 2^16): the length
+    if K % 2 == 0 and S * _L < 65000:
+        # Two lanes per word (per-lane totals <= _L*S < 2^16): the length
         # prefix sum is the costliest dense pass here, so halve its
         # traffic.  Unsigned arithmetic: the high half legitimately
         # reaches bit 31 (totals >= 2^15 when S > 2730), which would
@@ -104,13 +105,14 @@ def encode_lanes(byte_matrix, valid, enc_table):
     bit_counts = ends[-1]
     offs = ends - lens
 
-    cv = ((entries >> 4) << 4).astype(_I32) & 0xFFFF  # 16-bit left-aligned
+    cv = ((entries >> 4) << (16 - _L)).astype(_I32) & 0xFFFF  # 16-bit left-aligned
     sh = offs & 15
     w0 = offs >> 4
 
     idx = jax.lax.broadcasted_iota(_I32, (S, K), 0)
-    # Max word index is (12*S-1)//16 < S, so t_rows <= S always suffices.
-    t_rows = min(S, (S * 12) // 16 + 2)
+    # Max word index is (_L*S-1)//16 < S (needs _L < 16), so t_rows <= S
+    # always suffices.
+    t_rows = min(S, (S * _L) // 16 + 2)
 
     # Piece 0: top bits of the code into word w0.
     pieceA = (cv >> sh) & 0xFFFF
@@ -143,9 +145,9 @@ def _encode_lanes_scan(byte_matrix, valid, enc_table):
 
     def step(carry, e):
         acc, nbits = carry  # acc: u32 left-aligned bit buffer; nbits: i32
-        code = (e >> 4).astype(_U32)  # 12-bit left-aligned code value
+        code = (e >> 4).astype(_U32)  # _L-bit left-aligned code value
         ln = e & 15
-        acc = acc | (code << (20 - nbits).astype(_U32))
+        acc = acc | (code << (32 - _L - nbits).astype(_U32))
         nbits = nbits + ln
         emit = nbits >= 16
         word = (acc >> 16).astype(jnp.int32)

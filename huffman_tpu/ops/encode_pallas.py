@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..constants import TPU_MAX_CODE_LEN as _L
+
 _I32 = jnp.int32
 _BLK = 8  # sublane-groups (x128 lanes) per grid step
 
@@ -45,17 +47,41 @@ def _shift_up(x, rows):
 
 
 def _lookup256_lanes(idx, tab_ref):
-    """256-entry lookup via ONE lane gather of 16-bit-packed entry pairs.
+    """256-entry lookup via ONE lane gather of 16-bit-packed value pairs.
 
     Lane gathers cost ~50 elementwise ops each, so the 256-entry table is
-    stored as 128 lanes of ``entry[2r] | entry[2r+1] << 16`` and the pair
-    is split by a parity select (entries are <= 16 bits: code<<4|len).
+    stored as 128 lanes of ``cv[2r] | cv[2r+1] << 16`` and the pair is
+    split by a parity select.  At TPU_MAX_CODE_LEN=15 a packed
+    (code, len) entry would need 19 bits, so the table holds ONLY the
+    16-bit-left-aligned code value ``cv16 = code << (16 - L)``; the
+    length is recovered arithmetically by the caller's canonical-boundary
+    compare chain (`_lens_from_cv`) — the encode-side twin of the
+    decoder's length detection.
     """
     r = idx.shape[0]
     flat = idx.reshape(r * _BLK, 128)
     pairs = jnp.broadcast_to(tab_ref[0:1, :], (r * _BLK, 128))
     v = jnp.take_along_axis(pairs, flat >> 1, axis=1)
     return (jnp.where((flat & 1) == 1, v >> 16, v) & 0xFFFF).reshape(idx.shape)
+
+
+def _lens_from_cv(cv16, scal_ref):
+    """Code length from the 16-bit-aligned code value, via canonical
+    boundaries: len = 1 + #{l in [1, L-1] : cv16 >= E[l] << (16-L)}.
+
+    scal slot 15 holds an any-code-at-all flag (0 for the degenerate
+    num_syms <= 1 coding, whose single zero-length code would otherwise
+    alias cv16 == 0 with the first real canonical code).  Bytes OUTSIDE
+    the table's alphabet also alias cv16 == 0 and get length l_min —
+    encoding data a table cannot represent is undefined in every
+    implementation here (the XLA path silently emits nothing instead);
+    the tpu profile always builds tables from the exact block histogram,
+    so the case is unreachable from the public API.
+    """
+    ln = jnp.ones(cv16.shape, _I32)
+    for l in range(1, _L):
+        ln = ln + (cv16 >= scal_ref[0, l]).astype(_I32)
+    return ln * scal_ref[0, 15]
 
 
 def _or_place_kernel(piece, disp, t_rows):
@@ -119,10 +145,10 @@ def _make_encode_kernel(
     S = s_rows
     place = _or_place_kernel_v2 if place_v2 else _or_place_kernel
 
-    def kernel(b_ref, tab_ref, words_ref, bits_ref):
+    def kernel(b_ref, scal_ref, tab_ref, words_ref, bits_ref):
         idx = b_ref[:]  # (S, BLK, 128) int32 byte values
-        entries = _lookup256_lanes(idx, tab_ref)
-        lens = entries & 15
+        cv = _lookup256_lanes(idx, tab_ref)
+        lens = _lens_from_cv(cv, scal_ref)
 
         if mxu_prefix:
             # Inclusive prefix as a lower-triangular matmul: lens <= 15 is
@@ -150,7 +176,6 @@ def _make_encode_kernel(
         bits_ref[:] = ends[S - 1]
         offs = ends - lens
 
-        cv = ((entries >> 4) << 4) & 0xFFFF
         shv = offs & 15
         w0 = offs >> 4
         row = jax.lax.broadcasted_iota(_I32, (S, _BLK, 128), 0)
@@ -187,19 +212,38 @@ def encode_lanes_pallas(
         lanes); for masked positions pre-substitute byte 0 is NOT enough —
         callers needing a valid-mask must pre-zero entries instead (the
         equal-lane profile never does).
-      enc_table: (256,) int32 packed ``code<<4 | len``.
+      enc_table: (256,) int32 packed ``code<<4 | len`` (code
+        TPU_MAX_CODE_LEN-bit left-aligned; len <= 15 in the nibble).
 
     Returns:
       words: (t_rows, KR, 128) int32 16-bit stream words (forward order,
-        MSB-first), t_rows = min(S, S*12//16+2).
+        MSB-first), t_rows = min(S, S*_L//16+2).
       bit_counts: (KR, 128) int32.
     """
     S, KR, _ = byte3.shape
-    t_rows = min(S, (S * 12) // 16 + 2)
+    t_rows = min(S, (S * _L) // 16 + 2)
     flat = enc_table.astype(_I32)
+    # Kernel-side table: 16-bit-aligned code values only (a (code, len)
+    # pair needs 19 bits at _L=15 and would break the 2-per-int32 single
+    # gather; the kernel recovers lens via `_lens_from_cv`).
+    cv16 = (flat >> 4) << (16 - _L)
     tab2 = jnp.concatenate(
-        [(flat[0::2] | (flat[1::2] << 16)).reshape(1, 128), jnp.zeros((1, 128), _I32)]
+        [(cv16[0::2] | (cv16[1::2] << 16)).reshape(1, 128), jnp.zeros((1, 128), _I32)]
     )
+    # Canonical boundaries for the in-kernel length chain, derived from
+    # the table itself (256 x 16 one-hot sum — noise next to the encode):
+    # E[l] = sum_{j<=l} len_count[j] << (_L - j), aligned to 16 bits.
+    lens_tab = flat & 15
+    ls = jnp.arange(_L + 1, dtype=_I32)
+    len_count = jnp.sum(
+        (lens_tab[None, :] == ls[:, None]).astype(_I32)
+        & (flat[None, :] != 0), axis=1
+    )
+    e16 = jnp.cumsum(len_count << (_L - ls)) << (16 - _L)
+    any_code = (jnp.sum(jnp.abs(flat)) > 0).astype(_I32)
+    scal = jnp.zeros((1, 32), _I32)
+    scal = scal.at[0, : _L + 1].set(e16)
+    scal = scal.at[0, 15].set(any_code)
 
     kernel = _make_encode_kernel(S, t_rows, place_v2, mxu_prefix)
     words, bits = pl.pallas_call(
@@ -207,6 +251,7 @@ def encode_lanes_pallas(
         grid=(KR // _BLK,),
         in_specs=[
             pl.BlockSpec((S, _BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -217,5 +262,5 @@ def encode_lanes_pallas(
             _sds((t_rows, KR, 128), _I32, byte3),
             _sds((KR, 128), _I32, byte3),
         ),
-    )(byte3, tab2)
+    )(byte3, scal, tab2)
     return words, bits

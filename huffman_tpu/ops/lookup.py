@@ -38,24 +38,27 @@ def _onehot16(x, dtype):
 def lookup256(indices, table):
     """Gather-free ``table[indices]`` for a 256-entry int table.
 
-    The table is split into high/low bytes so every matmul input is an
+    The table is split into three bytes so every matmul input is an
     integer <= 255 — exact in bf16 (8 explicit mantissa bits) — and the MXU
     runs a single full-rate bf16 pass with f32 accumulation instead of the
-    6-pass f32-HIGHEST decomposition.
+    6-pass f32-HIGHEST decomposition.  Three bytes (not two) because the
+    tpu-profile enc_table entries are ``code<<4 | len`` with 15-bit codes
+    — 19 bits; the f32 recombination is exact to 2**24.
 
     Args:
-      indices: (...,) int32 in [0, 65536) table values (16-bit range).
-      table: (256,) int array with values in [0, 2**16).
+      indices: (...,) int32 in [0, 256) byte values.
+      table: (256,) int array with values in [0, 2**24).
 
     Returns:
       (...,) int32.
     """
     t32 = table.astype(jnp.int32)
-    thi = ((t32 >> 8) & 0xFF).reshape(16, 16)  # [h, l]
+    th2 = ((t32 >> 16) & 0xFF).reshape(16, 16)  # [h, l]
+    thi = ((t32 >> 8) & 0xFF).reshape(16, 16)
     tlo = (t32 & 0xFF).reshape(16, 16)
-    # B: (16 l-values, 32): columns 0..15 = hi byte of entry [h][l] per h,
-    # columns 16..31 = lo byte per h.
-    b_mat = jnp.concatenate([thi.T, tlo.T], axis=1).astype(jnp.bfloat16)
+    # B: (16 l-values, 48): columns 0..15 = byte 2 of entry [h][l] per h,
+    # 16..31 = byte 1, 32..47 = byte 0.
+    b_mat = jnp.concatenate([th2.T, thi.T, tlo.T], axis=1).astype(jnp.bfloat16)
     lo = _onehot16(indices & 15, jnp.bfloat16)
     hi = _onehot16(indices >> 4, jnp.float32)
     m = jax.lax.dot_general(
@@ -63,8 +66,10 @@ def lookup256(indices, table):
         b_mat,
         (((lo.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (..., 32)
-    vals = m[..., :16] * 256.0 + m[..., 16:]  # exact: <= 65535 in f32
+    )  # (..., 48)
+    vals = (
+        m[..., :16] * 65536.0 + m[..., 16:32] * 256.0 + m[..., 32:]
+    )  # exact: < 2**24 in f32
     out = jnp.sum(hi * vals, axis=-1)
     return out.astype(jnp.int32)
 

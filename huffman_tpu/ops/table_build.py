@@ -42,7 +42,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import MAX_CODE_LEN, NUM_SYMBOLS
+# The device builder serves the TPU profile only, so it limits to the
+# deeper TPU_MAX_CODE_LEN (15): the profile's decoder is table-free and
+# its header mask has room, so the reference's 12-bit cap (nibble packing
+# + 2^12 host tables) does not bind — and 15 cuts the limiting loss (see
+# constants.py).  The module-local name keeps the algebra readable.
+from ..constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
+from ..constants import NUM_SYMBOLS
 from .pallas_util import sds_like
 
 _I32 = jnp.int32
@@ -382,6 +388,17 @@ def build_coding_device(hist, serial_tree: bool | None = None):
     """
     if serial_tree is None:
         serial_tree = jax.default_backend() != "cpu"
+    # Count clamp (mirrors coding.clamp_hist): a symbol with probability
+    # below 2^-MAX_CODE_LEN sits at depth MAX_CODE_LEN in any limited
+    # code anyway, so raising its count to that floor loses nothing —
+    # and the tree then lands within the limit on its own, leaving the
+    # Kraft repair (whose cascading demotions cost up to 5% compressed
+    # size on smoothed sampled histograms) with nothing to do.  Measured
+    # equal to the package-merge optimum on every corpus tried
+    # (tests/test_coding_limits.py).
+    h = hist.astype(_I32)
+    floor = jnp.maximum(jnp.sum(h) >> MAX_CODE_LEN, 1)
+    hist = jnp.where(h > 0, jnp.maximum(h, floor), 0)
     syms_by_freq, counts_desc, num_syms = _sort_by_freq(hist)
     if serial_tree:
         # Scalar-core Pallas build: ~30x faster for a single table, but

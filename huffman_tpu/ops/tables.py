@@ -24,8 +24,17 @@ from ..constants import MAX_CODE_LEN
 
 
 def pack_encode_table(cc: coding.CanonicalCoding) -> np.ndarray:
-    """u32[256]: code_value<<4 | len."""
-    return (cc.code_bits.astype(np.uint32) << 4) | cc.code_lens.astype(np.uint32)
+    """u32[256]: code_value<<4 | len.
+
+    The encode kernels (ops/encode.py, ops/encode_pallas.py) consume code
+    values left-aligned in TPU_MAX_CODE_LEN (15) bits, so the ref
+    profile's 12-bit-aligned canonical codes are up-shifted here; the
+    emitted stream bits are identical (alignment is kernel-internal).
+    """
+    from ..constants import TPU_MAX_CODE_LEN
+
+    code15 = cc.code_bits.astype(np.uint32) << (TPU_MAX_CODE_LEN - MAX_CODE_LEN)
+    return (code15 << 4) | cc.code_lens.astype(np.uint32)
 
 
 def pack_decode_table(len_count: np.ndarray, sorted_syms: np.ndarray) -> np.ndarray:

@@ -42,7 +42,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..constants import MAX_CODE_LEN
+from ..constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 from ..ops.decode_bits import decode_bitserial
 from ..ops.decode_pallas import decode_bitserial_pallas, decode_kernel_fits
 from ..ops.decode_words import pack_u16_words_to_u32

@@ -58,7 +58,7 @@ _WORKER = textwrap.dedent(
     sharding = NamedSharding(mesh, P("data", "stream"))
     dev = jax.device_put(jnp.asarray(blocks), sharding)
 
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
     from huffman_tpu.parallel.sharded import sharded_roundtrip
 
     w32 = (codec.s * MAX_CODE_LEN + 31) // 32 + 1

@@ -72,7 +72,7 @@ def test_decode_kernel_matches_xla(style):
     data, cc, enc_table, t, b2 = _setup(style=style, k=k, s=s)
     valid = jnp.ones((s, k), bool)
     w16, wc, bits = encode_lanes(b2, valid, enc_table)
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 
     w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
     w16p = jnp.concatenate(
@@ -112,7 +112,7 @@ def test_decode_kernel_group_variants(group):
         pytest.skip("group must stay <= l_min for this corpus")
     valid = jnp.ones((s, k), bool)
     w16, wc, bits = encode_lanes(b2, valid, enc_table)
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 
     w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
     w16p = jnp.concatenate(
@@ -146,7 +146,7 @@ def test_decode_kernel_present_length_spec():
     assert spec != DENSE_SPEC, "flat48 corpus must have absent lengths"
     valid = jnp.ones((s, k), bool)
     w16, wc, bits = encode_lanes(b2, valid, enc_table)
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 
     w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
     w16p = jnp.concatenate(
@@ -187,7 +187,7 @@ def test_decode_kernel_identity_syms():
     ), "monotone corpus must canonicalize to identity sorted_syms"
     valid = jnp.ones((s, k), bool)
     w16, wc, bits = encode_lanes(b2, valid, enc_table)
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 
     w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
     w16p = jnp.concatenate(
@@ -238,7 +238,7 @@ def test_decode_kernel_sparse_deviation_syms(dev_slots):
     dev_rd[16 + len(devs) : 32] = 0
     valid = jnp.ones((s, k), bool)
     w16, wc, bits = encode_lanes(b2, valid, enc_table)
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 
     w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
     w16p = jnp.concatenate(
@@ -272,7 +272,7 @@ def test_decode_kernel_u8_output():
     data, cc, enc_table, t, b2 = _setup(style="biased", k=k, s=s)
     valid = jnp.ones((s, k), bool)
     w16, wc, bits = encode_lanes(b2, valid, enc_table)
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 
     w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
     w16p = jnp.concatenate(
@@ -308,7 +308,7 @@ def test_decode_kernel_per_step_word_stop():
     data, cc, enc_table, t, b2 = _setup(style="biased", k=k, s=s)
     valid = jnp.ones((s, k), bool)
     w16, wc, bits = encode_lanes(b2, valid, enc_table)
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 
     w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
     w16p = jnp.concatenate(
@@ -346,7 +346,7 @@ def test_decode_kernel_legacy_pack_matches(style):
     data, cc, enc_table, t, b2 = _setup(style=style, k=k, s=s)
     valid = jnp.ones((s, k), bool)
     w16, wc, bits = encode_lanes(b2, valid, enc_table)
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 
     w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
     w16p = jnp.concatenate(
@@ -396,7 +396,7 @@ def test_decode_kernel_fused_round_variants(style, flags):
     data, cc, enc_table, t, b2 = _setup(style=style, k=k, s=s)
     valid = jnp.ones((s, k), bool)
     w16, wc, bits = encode_lanes(b2, valid, enc_table)
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 
     w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
     w16p = jnp.concatenate(

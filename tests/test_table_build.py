@@ -9,14 +9,16 @@ import numpy as np
 import pytest
 
 from huffman_tpu import coding
-from huffman_tpu.constants import MAX_CODE_LEN
+# The device builder limits at the TPU profile depth with the count
+# clamp; the host oracle must be called with the same parameters.
+from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 from huffman_tpu.ops.table_build import build_coding_device
 from huffman_tpu.ops.decode_bits import decode_tables_bitserial
 
 
 def _check(hist):
     hist = np.asarray(hist, dtype=np.int64)
-    cc = coding.make_canonical_coding(hist.astype(np.uint64))
+    cc = coding.make_canonical_coding(hist.astype(np.uint64), MAX_CODE_LEN, clamp=True)
     dev = {k: np.asarray(v) for k, v in build_coding_device(hist).items()}
 
     assert dev["num_syms"] == cc.num_syms
@@ -96,7 +98,7 @@ def test_serial_tree_kernel_interpret(name):
     from jax.experimental.pallas import tpu as pltpu
 
     hist = np.asarray(CASES[name], dtype=np.int64)
-    cc = coding.make_canonical_coding(hist.astype(np.uint64))
+    cc = coding.make_canonical_coding(hist.astype(np.uint64), MAX_CODE_LEN, clamp=True)
     with pltpu.force_tpu_interpret_mode():
         dev = {
             k: np.asarray(v)
@@ -119,7 +121,7 @@ def test_serial_tree_kernel_interpret_random():
         hist = np.zeros(256, np.int64)
         active = rng.choice(256, size=n_active, replace=False)
         hist[active] = rng.geometric(0.002, size=n_active)
-        cc = coding.make_canonical_coding(hist.astype(np.uint64))
+        cc = coding.make_canonical_coding(hist.astype(np.uint64), MAX_CODE_LEN, clamp=True)
         with pltpu.force_tpu_interpret_mode():
             dev = {
                 k: np.asarray(v)

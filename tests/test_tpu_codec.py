@@ -45,7 +45,11 @@ def test_compressed_bits_match_oracle():
     s = -(-n // k)
     data = np.zeros(s * k, dtype=np.uint8)
     data[:n] = np.frombuffer(raw, dtype=np.uint8)
-    cc = coding.make_canonical_coding(coding.histogram(data))
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN
+
+    cc = coding.make_canonical_coding(
+        coding.histogram(data), TPU_MAX_CODE_LEN, clamp=True
+    )
     lens = cc.code_lens.astype(np.int64)
     # Strided lane mapping: lane i holds bytes i, i+k, i+2k, ...
     bits_ref = np.array([int(lens[data[i::k]].sum()) for i in range(k)])

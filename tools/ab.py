@@ -100,7 +100,7 @@ def _decode_variant(comp, n: int, overrides: dict):
     import jax
     import jax.numpy as jnp
 
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
     from huffman_tpu.models.tpu_codec import decode_statics
     from huffman_tpu.ops.decode_pallas import (
         decode_bitserial_pallas,
@@ -210,7 +210,7 @@ def main():
 
     import jax.numpy as jnp
 
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
     from huffman_tpu.models.tpu_codec import TpuCodec
 
     n = args.size

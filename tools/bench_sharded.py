@@ -31,7 +31,7 @@ def main():
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
     from huffman_tpu.parallel import make_mesh
     from huffman_tpu.parallel.sharded import sharded_roundtrip
     from huffman_tpu.bench.harness import sustained_seconds

@@ -38,7 +38,7 @@ def main():
     import jax.numpy as jnp
 
     from huffman_tpu.bench.harness import sustained_seconds
-    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
     from huffman_tpu.models.tpu_codec import (
         TpuCodec,
         _encode_with_tables,

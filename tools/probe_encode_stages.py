@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from huffman_tpu.constants import MAX_CODE_LEN
+from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 from huffman_tpu.bench.harness import sustained_seconds
 from huffman_tpu.models.tpu_codec import (
     TpuCodec,

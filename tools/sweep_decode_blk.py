@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from huffman_tpu import coding
-from huffman_tpu.constants import MAX_CODE_LEN
+from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
 from huffman_tpu.ops.decode_bits import decode_tables_bitserial
 from huffman_tpu.ops.decode_pallas import decode_bitserial_pallas
 from huffman_tpu.ops.encode import encode_lanes
