@@ -1,9 +1,9 @@
 #!/bin/bash
-# Poll the TPU tunnel; when it answers, run the round-3 battery.
+# Poll the TPU tunnel; when it answers, run the round-4 battery.
 # Logs to benchmarks/r3_battery_log/. Gives up after MAX_WAIT_S.
 set -u
 cd "$(dirname "$0")/.."
-LOG=benchmarks/r3_battery_log
+LOG=${LOGDIR:-benchmarks/r4_battery_log}
 mkdir -p "$LOG"
 MAX_WAIT_S=${MAX_WAIT_S:-36000}
 START=$(date +%s)

@@ -1,12 +1,12 @@
 #!/bin/bash
-# Round-3 on-chip measurement battery (serial; ONE TPU job at a time).
+# Round-4 on-chip measurement battery (serial; ONE TPU job at a time).
 # Each step is timeout-guarded and logged; a dead tunnel aborts the rest
 # (a hung XLA call would otherwise eat every step's timeout).
 #
 # Usage: bash tools/run_battery.sh [logdir]
 set -u
 cd "$(dirname "$0")/.."
-LOG=${1:-benchmarks/r3_battery_log}
+LOG=${1:-benchmarks/r4_battery_log}
 mkdir -p "$LOG"
 
 probe() {
@@ -46,24 +46,21 @@ step() {  # step NAME TIMEOUT CMD...
   tail -3 "$LOG/$name.log" | sed 's/^/    /'
 }
 
-# Warm the compile cache + refresh last_good.json first.  The post-flip
-# headline (8.19 GiB/s, 2026-08-18 12:20Z) is already secured in
-# benchmarks/last_good.json + r3_battery_log/bench.log, so no separate
-# bench step — prewarm's own measurement refresh is enough and the
-# tunnel's short up-windows are better spent on the pending A/Bs.
+# The 15-bit table-limit migration changed every kernel program: warm the
+# compile cache, then take the round-4 headline (ratio should rise
+# 2.07 -> ~2.19 on the biased 16 MiB; throughputs to be confirmed).
 step prewarm    1800 python tools/prewarm_bench.py
+step bench      600  python bench.py
 
-# Decode kernel A/Bs (VERDICT item 2). Run-1 (benchmarks/r3_battery_log_run1)
-# already measured legacy_pack (-7.6%), fuse_r1 (+4.2%), fuse_r2 (+14.0%,
-# flipped to production default), fuse_r2+fuse_s3 (+12.1%); remaining:
-# val_rounds on top of the new fuse_r2 production default.
-step ab_val     1200 python tools/ab.py decode --a fuse_r2=0 --b fuse_r2=0,val_rounds=1 --size 16777216 --rounds 5
-step ab_r2val   1200 python tools/ab.py decode --b val_rounds=1 --size 16777216 --rounds 5
-
-# Encode kernel A/Bs (flag-gated variants staged earlier this round).
+# Round-3's decode A/Bs already answered val_rounds (+2.45% on fuse_r2=0,
+# +0.52% on production — no flip, twice measured); spend round-4 windows
+# on the ENCODE side, which was never measured on chip.
+step ab_hist    1200 python tools/ab.py encode --a hist_stride=1 --b hist_stride=8 --size 16777216 --rounds 5 --skip-exact
 step ab_place   1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,place_v2=1 --size 16777216 --rounds 5
 step ab_mxu     1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,mxu_prefix=1 --size 16777216 --rounds 5
-step ab_hist    1200 python tools/ab.py encode --a hist_stride=1 --b hist_stride=8 --size 16777216 --rounds 5 --skip-exact
+
+# Decode sanity A/B on the new 15-bit base: confirm fuse_r2 still wins.
+step ab_r2chk   1200 python tools/ab.py decode --b fuse_r2=0 --size 16777216 --rounds 5
 
 # Histogram variant race (C5 analog evidence).
 step hist_exp   1200 python tools/hist_experiments.py 16
@@ -71,14 +68,13 @@ step hist_exp   1200 python tools/hist_experiments.py 16
 # Encode stage split at the production hist_stride (encode roofline input).
 step enc_stages 1200 python tools/probe_encode_stages.py 16
 
-# Suites (conservative numbers BEFORE any default flips; headline ran
-# right after prewarm).
+# Flagship tables, all on the round-4 code.
 step suite      1800 python tools/run_benchmarks.py --size 4194304
 step small      1500 python tools/bench_small.py
 step streaming  1800 python tools/bench_streaming.py
 step batched    1800 python tools/probe_batched.py
 
-# Real-chip pytest smoke (VERDICT item 8).
+# Real-chip pytest smoke.
 step smoke       900 python -m pytest tests/test_chip_smoke.py --runslow -q
 
 echo "BATTERY COMPLETE $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
