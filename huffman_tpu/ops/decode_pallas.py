@@ -126,6 +126,7 @@ def _make_decode_kernel(
     fuse_r1: bool = False,
     fuse_s3: bool = False,
     fuse_r2: bool = False,
+    fuse_r3: bool = False,
     val_rounds: bool = False,
 ):
     slots = -(-32 // group)
@@ -144,8 +145,13 @@ def _make_decode_kernel(
     # round-1 outputs, so stores lag THREE rows and the carry holds the
     # last raw slot plus the last two round-1 rows.  Requires slots >= 4
     # (true for every staging group: slots = 32/group with group <= 8).
-    r1 = (fuse_r1 or fuse_r2) and d_max_static >= 1 and not legacy_pack
-    r2 = fuse_r2 and d_max_static >= 2 and not legacy_pack and slots >= 4
+    # fuse_r3: a third level — round 3 (sh=4) consumes the in-register
+    # round-2 outputs, so stores lag SEVEN rows and the carry holds the
+    # last raw slot, the last two round-1 rows and the last four round-2
+    # rows.  Requires slots >= 8 (groups <= 4).
+    r1 = (fuse_r1 or fuse_r2 or fuse_r3) and d_max_static >= 1 and not legacy_pack
+    r2 = (fuse_r2 or fuse_r3) and d_max_static >= 2 and not legacy_pack and slots >= 4
+    r3 = fuse_r3 and d_max_static >= 4 and not legacy_pack and slots >= 8
     # Staged-entry layout: (win + 1) << db | disp, invalid rows 0.  The
     # displacement sits in the LOW bits so each compaction round tests
     # and clears its bit with `& sh` / `- sh` — no shifts on the merge
@@ -186,6 +192,12 @@ def _make_decode_kernel(
             arrive = (xs & 2) != 0
             stay = (base & 2) == 0
             return jnp.where(arrive, xs - 2, jnp.where(stay, base, 0))
+
+        def merge3(base, xs):
+            # Compaction round sh=4 on round-2 register values.
+            arrive = (xs & 4) != 0
+            stay = (base & 4) == 0
+            return jnp.where(arrive, xs - 4, jnp.where(stay, base, 0))
 
         def _store(x):
             # u8 output quarters the HBM write (S*K bytes instead of
@@ -304,6 +316,29 @@ def _make_decode_kernel(
                     # group  =>  ln + c - wd.  No boundary: c - wd.
                     c = jnp.where(bany, ln + c, c) - wd
                     c2 = c2 + bany.astype(_I32)
+            if r3:
+                # One level past fuse_r2: r2a[j] = round-2 row
+                # (w*slots - 3 + j), built from the round-1 m-rows;
+                # round-3 row r merges r2-rows r and r+4, so stores lag
+                # SEVEN rows.  carry[2] = prev word's last raw slot,
+                # carry[3:5] its last two m-rows, carry[5:9] its last
+                # four r2-rows.  At w=0 the clamped prologue writes land
+                # on row 0 and are overwritten by the true row-0 store
+                # (j = 7) in the same iteration (program order).
+                m = [merge1(carry[2], svals[0])] + [
+                    merge1(svals[i], svals[i + 1]) for i in range(slots - 1)
+                ]
+                r2a = [merge2(carry[3], m[0]), merge2(carry[4], m[1])] + [
+                    merge2(m[i], m[i + 2]) for i in range(slots - 2)
+                ]
+                for j in range(slots):
+                    lo = carry[5 + j] if j < 4 else r2a[j - 4]
+                    st_ref[jnp.maximum(w * slots - 7 + j, 0)] = merge3(lo, r2a[j])
+                return (
+                    c, c2, svals[slots - 1], m[slots - 2], m[slots - 1],
+                    r2a[slots - 4], r2a[slots - 3], r2a[slots - 2],
+                    r2a[slots - 1],
+                )
             if r2:
                 # m[j] = round-1 row (w*slots - 1 + j); carry[3:5] are the
                 # previous word's last two round-1 rows, carry[2] its last
@@ -335,13 +370,30 @@ def _make_decode_kernel(
             return (c, c2)
 
         init = (jnp.zeros(shape, _I32), jnp.zeros(shape, _I32))
-        if r2:
+        if r3:
+            init = init + (jnp.zeros(shape, _I32),) * 7
+        elif r2:
             init = init + (jnp.zeros(shape, _I32),) * 3
         elif r1:
             init = init + (jnp.zeros(shape, _I32),)
         fin = jax.lax.fori_loop(0, w_stop, row_step, init)
         zero = jnp.zeros(shape, _I32)
-        if r2:
+        if r3:
+            # Deferred tail: round-1 row T'-1 (raw row T' = 0), the last
+            # three round-2 rows, then the last seven round-3 rows
+            # (carried r2 rows T'-7..T'-4 in fin[5:9]).
+            mm1 = merge1(fin[2], zero)
+            r2t3 = merge2(fin[3], mm1)
+            r2t2 = merge2(fin[4], zero)
+            r2t1 = merge2(mm1, zero)
+            st_ref[w_stop * slots - 7] = merge3(fin[5], r2t3)
+            st_ref[w_stop * slots - 6] = merge3(fin[6], r2t2)
+            st_ref[w_stop * slots - 5] = merge3(fin[7], r2t1)
+            st_ref[w_stop * slots - 4] = merge3(fin[8], zero)
+            st_ref[w_stop * slots - 3] = merge3(r2t3, zero)
+            st_ref[w_stop * slots - 2] = merge3(r2t2, zero)
+            st_ref[w_stop * slots - 1] = merge3(r2t1, zero)
+        elif r2:
             # Deferred tail: m rows T'-1 (needs raw row T' = 0) and T'
             # (= 0), then the last three round-2 rows.
             mm1 = merge1(fin[2], zero)
@@ -519,7 +571,7 @@ def _make_decode_kernel(
         if not dyn_rounds:
             # fuse_r1/fuse_r2 already ran rounds sh=1 (and sh=2) inside
             # the scan's stores.
-            skip = 2 if r2 else (1 if r1 else 0)
+            skip = 3 if r3 else (2 if r2 else (1 if r1 else 0))
             rs = shifts[skip:]
             rh = heights[skip:]
             if val_rounds:
@@ -623,7 +675,7 @@ def _make_decode_kernel(
     static_argnames=(
         "group", "out_len", "blk", "scan", "spec", "debug_stages",
         "syms_identity", "dev_slots", "out_u8", "dyn_rounds", "legacy_pack",
-        "fuse_r1", "fuse_s3", "fuse_r2", "val_rounds",
+        "fuse_r1", "fuse_s3", "fuse_r2", "fuse_r3", "val_rounds",
     ),
 )
 def decode_bitserial_pallas(
@@ -647,6 +699,7 @@ def decode_bitserial_pallas(
     fuse_r1: bool = False,
     fuse_s3: bool = False,
     fuse_r2: bool = True,
+    fuse_r3: bool = False,
     val_rounds: bool = False,
     step_words=None,
 ):
@@ -704,15 +757,15 @@ def decode_bitserial_pallas(
         assert not val_rounds, (
             "val_rounds is a static-round-schedule variant"
         )
-        if fuse_r1 or fuse_s3:
+        if fuse_r1 or fuse_s3 or fuse_r3:
             raise ValueError(
-                "fuse_r1/fuse_s3 do not compose with legacy_pack/dyn_rounds"
+                "fuse_r1/fuse_s3/fuse_r3 do not compose with legacy_pack/dyn_rounds"
             )
         fuse_r2 = False
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
         syms_identity, dev_slots, out_u8, dyn_rounds, legacy_pack,
-        fuse_r1, fuse_s3, fuse_r2, val_rounds,
+        fuse_r1, fuse_s3, fuse_r2, fuse_r3, val_rounds,
     )
     d_max = max(t_rows - out_len + 1, 0)
     pad = _compaction_pad(d_max)
