@@ -225,9 +225,12 @@ def _encode_full(
     pad = s * k - data.shape[0]
     padded = jnp.concatenate([data, jnp.zeros((pad,), jnp.uint8)])
     hist = _table_hist(padded, hist_stride)
-    t = build_coding_device(hist)
+    # enc_flags: static (key, value) pairs; 'fused_tab' selects the
+    # one-kernel table build (A/B flag), the rest go to the encode kernel.
+    flags = dict(enc_flags)
+    t = build_coding_device(hist, fused=bool(flags.pop("fused_tab", False)))
     words32, bit_counts = _encode_with_tables_body(
-        padded, t["enc_table"], s, k, w32, use_pallas, enc_flags
+        padded, t["enc_table"], s, k, w32, use_pallas, tuple(flags.items())
     )
     return words32, bit_counts, t
 

@@ -188,6 +188,11 @@ def _huffman_len_count(counts_desc, num_syms):
 
 
 def _tree_kernel(cd_ref, n_ref, lc_ref, a_ref, i_ref):
+    """Pallas entry for the tree-only build (see `_tree_body`)."""
+    _tree_body(cd_ref, n_ref, lc_ref, a_ref, i_ref)
+
+
+def _tree_body(cd_ref, n_ref, lc_ref, a_ref, i_ref):
     """Moffat in-place tree build as scalar SMEM code.
 
     The XLA formulation of this serial 2*(n-1)-step loop costs ~µs per
@@ -314,6 +319,125 @@ def _tree_kernel(cd_ref, n_ref, lc_ref, a_ref, i_ref):
     lax.while_loop(lambda kf: kf > one, repair, kraft)
 
 
+def _full_table_kernel(
+    cd_ref, sy_ref, n_ref, lc_ref, enc_ref, misc_ref, a_ref, i_ref, ln_ref
+):
+    """Tree build + Kraft repair + the ENTIRE canonical derivation as one
+    scalar-SMEM kernel.
+
+    The XLA derivation after the tree kernel (rank lengths via 256x16
+    compares, boundary tables via one-hot selects, and the 256x256
+    one-hot permutation apply for enc_table) is a fixed per-block cost
+    that dominates small-block table builds; as scalar loops over the
+    same 256 entries it is a few thousand SMEM ops.
+
+    Outputs: lc_ref (1, 64) len_count; enc_ref (1, 256) packed
+    ``code<<4 | len`` by symbol; misc_ref (1, 64): e_bound at
+    [0 : MAX+2], g_rank at [20 : 20+MAX+1], l_min at [40].
+    ln_ref (1, 256) scratch: per-rank code lengths.
+    """
+    import jax.lax as lax
+
+    _tree_body(cd_ref, n_ref, lc_ref, a_ref, i_ref)
+    n = n_ref[0, 0]
+
+    # Boundary tables: E[l] = sum_{j<=l} lc[j] << (MAX-j);
+    # g_rank[l] = (#codes shorter than l) - (E[l-1] >> (MAX-l)).
+    def bounds(l, st):
+        acc_e, nshort, eprev = st
+        c = lc_ref[0, l]
+
+        @pl.when(l >= 1)
+        def _():
+            misc_ref[0, 20 + l] = nshort - (eprev >> (MAX_CODE_LEN - l))
+
+        acc_e = acc_e + (c << (MAX_CODE_LEN - l))
+        misc_ref[0, l] = acc_e
+        return acc_e, nshort + c, acc_e
+
+    misc_ref[0, 20] = 0  # g_rank[0]
+    acc_e, _, _ = lax.fori_loop(
+        0, MAX_CODE_LEN + 1, bounds, (jnp.int32(0),) * 3
+    )
+    misc_ref[0, MAX_CODE_LEN + 1] = acc_e  # e_bound's duplicated tail
+
+    # l_min: shortest nonzero length (1 when empty/degenerate).
+    lm = lax.fori_loop(
+        1,
+        MAX_CODE_LEN + 1,
+        lambda l, lm: jnp.where((lc_ref[0, l] > 0) & (lm == 99), l, lm),
+        jnp.int32(99),
+    )
+    misc_ref[0, 40] = jnp.where(lm == 99, 1, lm)
+
+    # Per-rank lengths (ranks are freq-descending; lengths ascend).
+    def fill_l(l, cur):
+        cnt = lc_ref[0, l]
+
+        def put(j, _):
+            ln_ref[0, cur + j] = l
+            return 0
+
+        lax.fori_loop(0, cnt, put, 0)
+        return cur + cnt
+
+    lax.fori_loop(0, MAX_CODE_LEN + 1, fill_l, jnp.int32(0))
+
+    # Canonical enumeration + permutation apply (indexed SMEM stores
+    # replace the XLA 256x256 one-hot): entry 0 for absent symbols and
+    # the degenerate zero-length coding, exactly as the XLA form's
+    # `where(valid, code<<4|len, 0)`.
+    def zero(i, _):
+        enc_ref[0, i] = 0
+        return 0
+
+    lax.fori_loop(0, _N, zero, 0)
+
+    def assign(i, current):
+        l = ln_ref[0, jnp.minimum(i, n - 1)]
+        valid = i < n
+
+        @pl.when(valid)
+        def _():
+            enc_ref[0, sy_ref[0, i]] = (current << 4) | l
+
+        return current + jnp.where(valid, 1 << (MAX_CODE_LEN - l), 0)
+
+    lax.fori_loop(0, _N, assign, jnp.int32(0))
+
+
+def _build_tables_fused_pallas(counts_desc, syms_by_freq, num_syms):
+    """One-kernel table build: len_count + enc_table + decode constants."""
+    lc, enc, misc = pl.pallas_call(
+        _full_table_kernel,
+        in_specs=[
+            pl.BlockSpec((1, _N), lambda: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _N), lambda: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 64), lambda: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _N), lambda: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 64), lambda: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            sds_like((1, 64), _I32, counts_desc),
+            sds_like((1, _N), _I32, counts_desc),
+            sds_like((1, 64), _I32, counts_desc),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, _N), _I32),
+            pltpu.SMEM((1, 64), _I32),
+            pltpu.SMEM((1, _N), _I32),
+        ],
+    )(
+        counts_desc.reshape(1, _N).astype(_I32),
+        syms_by_freq.reshape(1, _N).astype(_I32),
+        num_syms.reshape(1, 1).astype(_I32),
+    )
+    return lc.reshape(64), enc.reshape(_N), misc.reshape(64)
+
+
 def _huffman_len_count_pallas(counts_desc, num_syms):
     """Pallas scalar-core tree build (single table; ~20-60 µs vs ~2 ms)."""
     lc = pl.pallas_call(
@@ -365,8 +489,8 @@ def _limit_len_count(len_count):
     return lc.astype(_I32)  # (MAX_CODE_LEN+1,)
 
 
-@functools.partial(jax.jit, static_argnames=("serial_tree",))
-def build_coding_device(hist, serial_tree: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("serial_tree", "fused"))
+def build_coding_device(hist, serial_tree: bool | None = None, fused: bool = False):
     """Histogram -> full coding state, entirely on device.
 
     Args:
@@ -400,6 +524,24 @@ def build_coding_device(hist, serial_tree: bool | None = None):
     floor = jnp.maximum(jnp.sum(h) >> MAX_CODE_LEN, 1)
     hist = jnp.where(h > 0, jnp.maximum(h, floor), 0)
     syms_by_freq, counts_desc, num_syms = _sort_by_freq(hist)
+    if fused and serial_tree:
+        # Whole derivation in one scalar-SMEM kernel (`_full_table_kernel`):
+        # the XLA post-tree passes (rank lens, boundary selects, 256x256
+        # one-hot permutation) are a fixed per-block cost that dominates
+        # small-block builds.  Flag-gated for A/B (ab.py encode
+        # fused_tab=1).
+        lc64, enc_table, misc = _build_tables_fused_pallas(
+            counts_desc, syms_by_freq, num_syms
+        )
+        return {
+            "enc_table": enc_table,
+            "len_count": lc64[: MAX_CODE_LEN + 1].astype(_I32),
+            "sorted_syms": syms_by_freq,
+            "num_syms": num_syms,
+            "e_bound": misc[: MAX_CODE_LEN + 2],
+            "g_rank": misc[20 : 20 + MAX_CODE_LEN + 1],
+            "l_min": misc[40],
+        }
     if serial_tree:
         # Scalar-core Pallas build: ~30x faster for a single table, but
         # serial — batched/vmapped callers use the dense one-hot form.

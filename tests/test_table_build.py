@@ -130,3 +130,25 @@ def test_serial_tree_kernel_interpret_random():
         np.testing.assert_array_equal(dev["len_count"], cc.len_count.astype(np.int64))
         want = (cc.code_bits.astype(np.int64) << 4) | cc.code_lens
         np.testing.assert_array_equal(dev["enc_table"], want)
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_fused_table_kernel_interpret(name):
+    """The one-kernel table build (tree + repair + canonical derivation,
+    `_full_table_kernel`) must match the XLA derivation bit-for-bit."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    hist = np.asarray(CASES[name], dtype=np.int64)
+    ref = {
+        k: np.asarray(v)
+        for k, v in build_coding_device(hist, serial_tree=False).items()
+    }
+    with pltpu.force_tpu_interpret_mode():
+        got = {
+            k: np.asarray(v)
+            for k, v in build_coding_device(
+                hist, serial_tree=True, fused=True
+            ).items()
+        }
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k], err_msg=k)

@@ -167,7 +167,7 @@ def _encode_variant(data, s, k, w32, overrides: dict):
     # flag would otherwise build B identical to A and record a
     # plausible-looking ~0% ratio (the decode side gets this for free —
     # its unknown keys reach decode_bitserial_pallas and TypeError).
-    known = {"pallas", "hist_stride", "place_v2", "mxu_prefix"}
+    known = {"pallas", "hist_stride", "place_v2", "mxu_prefix", "fused_tab"}
     unknown = set(overrides) - known
     if unknown:
         raise SystemExit(
@@ -177,7 +177,7 @@ def _encode_variant(data, s, k, w32, overrides: dict):
     hist_stride = overrides.get("hist_stride", 1)
     enc_flags = tuple(
         (kk, bool(vv)) for kk, vv in overrides.items()
-        if kk in ("place_v2", "mxu_prefix")
+        if kk in ("place_v2", "mxu_prefix", "fused_tab")
     )
 
     def once(pert):

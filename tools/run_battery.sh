@@ -58,9 +58,14 @@ step bench      600  python bench.py
 step ab_hist    1200 python tools/ab.py encode --a hist_stride=1 --b hist_stride=8 --size 16777216 --rounds 5 --skip-exact
 step ab_place   1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,place_v2=1 --size 16777216 --rounds 5
 step ab_mxu     1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,mxu_prefix=1 --size 16777216 --rounds 5
+step ab_fused   1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,fused_tab=1 --size 16777216 --rounds 5
 
 # Decode sanity A/B on the new 15-bit base: confirm fuse_r2 still wins.
 step ab_r2chk   1200 python tools/ab.py decode --b fuse_r2=0 --size 16777216 --rounds 5
+
+# fuse_r3 (third compaction round into the scan, new this round).
+step ab_r3      1200 python tools/ab.py decode --b fuse_r3=1 --size 16777216 --rounds 5
+step ab_r3s3    1200 python tools/ab.py decode --b fuse_r3=1,fuse_s3=1 --size 16777216 --rounds 5
 
 # Histogram variant race (C5 analog evidence).
 step hist_exp   1200 python tools/hist_experiments.py 16
