@@ -49,12 +49,13 @@ def step_rcs(logdir: pathlib.Path) -> dict:
     status = logdir / "status.txt"
     if status.exists():
         for m in re.finditer(r"=== (\S+) rc=(\d+)", status.read_text()):
-            rcs[m.group(1)] = int(m.group(2))
+            # Names carry a #cmdhash suffix since the resume-key fix.
+            rcs[m.group(1).split("#")[0]] = int(m.group(2))
     return rcs
 
 
 def main() -> int:
-    logdir = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "benchmarks/r3_battery_log")
+    logdir = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "benchmarks/r4_battery_log")
     rcs = step_rcs(logdir)
 
     # NOTE: fuse_r2 became the production DEFAULT after run-1 measured it
@@ -62,13 +63,16 @@ def main() -> int:
     # later log therefore already includes fuse_r2; the remaining decode
     # questions are val_rounds alone (fuse_r2=0) and on top of fuse_r2.
     decode_combos = {
-        "ab_r1": "fuse_r1=1",
-        "ab_r2": "fuse_r2=1",
-        "ab_r2s3": "fuse_r2=1,fuse_s3=1",
-        "ab_val": "val_rounds=1,fuse_r2=0",
-        "ab_r2val": "val_rounds=1 (+fuse_r2 default)",
+        "ab_r3": "fuse_r3=1",
+        "ab_r3s3": "fuse_r3=1,fuse_s3=1",
+        "ab_val": "val_rounds on fuse_r2=0 (closed: +2.45%)",
+        "ab_r2val": "val_rounds=1 (closed: +0.52%)",
     }
-    encode_combos = {"ab_place": "place_v2=1", "ab_mxu": "mxu_prefix=1"}
+    encode_combos = {
+        "ab_place": "place_v2=1",
+        "ab_mxu": "mxu_prefix=1",
+        "ab_fused": "fused_tab=1",
+    }
 
     print(f"battery summary: {logdir}")
     if rcs:
@@ -90,11 +94,12 @@ def main() -> int:
         sp = report(name, flags)
         if sp is not None and sp > best_sp:
             best_name, best_sp = name, sp
-    leg = last_json(logdir / "ab_legacy.log")
-    if leg and "b_speedup_pct" in leg:
-        sp = leg["b_speedup_pct"]
-        verdict = "OK (rewrite holds)" if sp <= THRESHOLD_PCT else "INVESTIGATE: legacy layout won"
-        print(f"  ab_legacy  (B = pre-round-3 layout)   B speedup {sp:+6.2f}%  {verdict}")
+    for guard, what in (("ab_legacy", "pre-round-3 layout"), ("ab_r2chk", "fuse_r2 OFF")):
+        g = last_json(logdir / f"{guard}.log")
+        if g and "b_speedup_pct" in g:
+            sp = g["b_speedup_pct"]
+            verdict = "OK (default holds)" if sp <= THRESHOLD_PCT else f"INVESTIGATE: {what} won"
+            print(f"  {guard:<10} (B = {what})   B speedup {sp:+6.2f}%  {verdict}")
 
     print("encode A/Bs:")
     enc_flips = []
