@@ -56,9 +56,15 @@ def pack(records: list[tuple[int, int, bytes]], block_size: int) -> bytes:
     return bytes(out)
 
 
-def compress_blocks(raw: bytes, codec, block_size: int = DEFAULT_BLOCK) -> bytes:
-    """Split, pad-to-uniform, compress each block with stored fallback."""
-    records = []
+#: Device blocks kept in flight by the block pipelines below.  2 =
+#: double buffering: block i+1's device compression runs while block i's
+#: result is fetched/serialized on the host (JAX async dispatch overlaps
+#: them for free once the work is enqueued early).  Each in-flight 16 MiB
+#: block holds ~32 MiB of device arrays, so keep this small.
+PIPELINE_DEPTH = 2
+
+
+def _chunks(raw: bytes, block_size: int):
     n = len(raw)
     pos = 0
     while pos < n or (n == 0 and pos == 0):
@@ -69,15 +75,49 @@ def compress_blocks(raw: bytes, codec, block_size: int = DEFAULT_BLOCK) -> bytes
         # compresses at its natural size.
         if raw_len and raw_len < block_size and n > block_size:
             chunk = chunk + b"\0" * (block_size - raw_len)
-        one = getattr(codec, "_compress_blob", codec.compress)
-        blob = one(chunk) if raw_len else b""
+        yield pos, raw_len, chunk
+        pos += block_size
+        if n == 0:
+            break
+
+
+def compress_blocks(raw: bytes, codec, block_size: int = DEFAULT_BLOCK) -> bytes:
+    """Split, pad-to-uniform, compress each block with stored fallback.
+
+    Device codecs are pipelined: block i+1's (async) device compression
+    is enqueued BEFORE block i's result is fetched and serialized, so
+    host serialization and the device->host transfer overlap the next
+    block's compute instead of strictly alternating with it."""
+    records = []
+    enc = getattr(codec, "encode_device", None)
+    ser = getattr(codec, "serialize", None)
+
+    def finish(pos, raw_len, comp_or_blob):
+        blob = ser(comp_or_blob) if enc else comp_or_blob
         if raw_len and len(blob) >= raw_len + 8:
             records.append((KIND_STORED, raw_len, raw[pos : pos + raw_len]))
         else:
             records.append((KIND_HUFF, raw_len, blob))
-        pos += block_size
-        if n == 0:
-            break
+
+    if enc is not None and ser is not None:
+        import numpy as np
+        import jax.numpy as jnp
+
+        pending = []  # (pos, raw_len, TpuCompressed)
+        for pos, raw_len, chunk in _chunks(raw, block_size):
+            if raw_len:
+                comp = enc(jnp.asarray(np.frombuffer(chunk, np.uint8)))
+                pending.append((pos, raw_len, comp))
+            else:
+                records.append((KIND_HUFF, 0, b""))
+            while len(pending) > PIPELINE_DEPTH:
+                finish(*pending.pop(0))
+        while pending:
+            finish(*pending.pop(0))
+    else:
+        one = getattr(codec, "_compress_blob", codec.compress)
+        for pos, raw_len, chunk in _chunks(raw, block_size):
+            finish(pos, raw_len, one(chunk) if raw_len else b"")
     records.append(crc_record(raw))
     return pack(records, block_size)
 
@@ -154,10 +194,37 @@ def decode_record(kind: int, kx: int, raw_len: int, rec: bytes, codec) -> bytes:
 
 
 def decompress_blocks(data: bytes, codec) -> bytes:
+    """Inverse of `compress_blocks`, with the same device pipelining:
+    tpu-profile records are parsed and their decodes ENQUEUED up to
+    PIPELINE_DEPTH ahead, so block i's device->host fetch overlaps block
+    i+1's decode compute."""
     _bs, total_raw, records = parse_records(data)
+    dec = getattr(codec, "decode_device", None) if codec is not None else None
+    des = getattr(codec, "deserialize", None) if codec is not None else None
     out = bytearray()
-    for kind, kx, raw_len, rec in records:
-        out += decode_record(kind, kx, raw_len, rec, codec)
+    if dec is not None and des is not None:
+        import numpy as np
+
+        live = []  # FIFO of (device_array, raw_len) not yet fetched
+
+        def flush_one():
+            arr, rl = live.pop(0)
+            out.extend(np.asarray(arr).tobytes()[:rl])
+
+        for kind, kx, raw_len, rec in records:
+            if kind == KIND_HUFF and raw_len:
+                live.append((dec(des(rec)), raw_len))
+                while len(live) > PIPELINE_DEPTH:
+                    flush_one()
+            else:
+                while live:  # keep byte order across record kinds
+                    flush_one()
+                out += decode_record(kind, kx, raw_len, rec, codec)
+        while live:
+            flush_one()
+    else:
+        for kind, kx, raw_len, rec in records:
+            out += decode_record(kind, kx, raw_len, rec, codec)
     if len(out) != total_raw:
         raise ValueError(
             f"container truncated: decoded {len(out)} of {total_raw} bytes"

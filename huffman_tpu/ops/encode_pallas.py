@@ -50,13 +50,13 @@ def _lookup256_lanes(idx, tab_ref):
     """256-entry lookup via ONE lane gather of 16-bit-packed value pairs.
 
     Lane gathers cost ~50 elementwise ops each, so the 256-entry table is
-    stored as 128 lanes of ``cv[2r] | cv[2r+1] << 16`` and the pair is
-    split by a parity select.  At TPU_MAX_CODE_LEN=15 a packed
-    (code, len) entry would need 19 bits, so the table holds ONLY the
-    16-bit-left-aligned code value ``cv16 = code << (16 - L)``; the
-    length is recovered arithmetically by the caller's canonical-boundary
-    compare chain (`_lens_from_cv`) — the encode-side twin of the
-    decoder's length detection.
+    stored as 128 lanes of ``ent[2r] | ent[2r+1] << 16`` and the pair is
+    split by a parity select.  At TPU_MAX_CODE_LEN=15 a plain
+    (code << 4 | len) entry would need 19 bits, so the entry here is the
+    marker encoding ``ent = cv16 | 1 << (15 - len)`` (see
+    `_split_marker`): a canonical code value left-aligned at bit 15 has
+    zeros strictly below bit ``16 - len``, so the marker bit at
+    ``15 - len`` never collides and both fields fit 16 bits.
     """
     r = idx.shape[0]
     flat = idx.reshape(r * _BLK, 128)
@@ -65,23 +65,21 @@ def _lookup256_lanes(idx, tab_ref):
     return (jnp.where((flat & 1) == 1, v >> 16, v) & 0xFFFF).reshape(idx.shape)
 
 
-def _lens_from_cv(cv16, scal_ref):
-    """Code length from the 16-bit-aligned code value, via canonical
-    boundaries: len = 1 + #{l in [1, L-1] : cv16 >= E[l] << (16-L)}.
-
-    scal slot 15 holds an any-code-at-all flag (0 for the degenerate
-    num_syms <= 1 coding, whose single zero-length code would otherwise
-    alias cv16 == 0 with the first real canonical code).  Bytes OUTSIDE
-    the table's alphabet also alias cv16 == 0 and get length l_min —
-    encoding data a table cannot represent is undefined in every
-    implementation here (the XLA path silently emits nothing instead);
-    the tpu profile always builds tables from the exact block histogram,
-    so the case is unreachable from the public API.
+def _split_marker(ent):
+    """(cv16, len) from a marker-encoded entry, gather-free and
+    chain-free: the marker is the LOWEST set bit (cv16's significant
+    bits all sit above it), isolated with ``ent & -ent``; its position
+    comes from the f32 exponent field (exact for powers of two), so the
+    length costs ~7 VPU ops instead of a 14-term canonical-boundary
+    compare chain.  Entries of absent symbols and of the degenerate
+    zero-length coding are 0 -> (0, 0).
     """
-    ln = jnp.ones(cv16.shape, _I32)
-    for l in range(1, _L):
-        ln = ln + (cv16 >= scal_ref[0, l]).astype(_I32)
-    return ln * scal_ref[0, 15]
+    ls = ent & -ent
+    expo = jax.lax.bitcast_convert_type(
+        ls.astype(jnp.float32), jnp.int32
+    ) >> 23
+    ln = jnp.where(ent == 0, 0, (127 + 15) - expo)
+    return ent - ls, ln
 
 
 def _or_place_kernel(piece, disp, t_rows):
@@ -145,10 +143,9 @@ def _make_encode_kernel(
     S = s_rows
     place = _or_place_kernel_v2 if place_v2 else _or_place_kernel
 
-    def kernel(b_ref, scal_ref, tab_ref, words_ref, bits_ref):
+    def kernel(b_ref, tab_ref, words_ref, bits_ref):
         idx = b_ref[:]  # (S, BLK, 128) int32 byte values
-        cv = _lookup256_lanes(idx, tab_ref)
-        lens = _lens_from_cv(cv, scal_ref)
+        cv, lens = _split_marker(_lookup256_lanes(idx, tab_ref))
 
         if mxu_prefix:
             # Inclusive prefix as a lower-triangular matmul: lens <= 15 is
@@ -223,27 +220,17 @@ def encode_lanes_pallas(
     S, KR, _ = byte3.shape
     t_rows = min(S, (S * _L) // 16 + 2)
     flat = enc_table.astype(_I32)
-    # Kernel-side table: 16-bit-aligned code values only (a (code, len)
-    # pair needs 19 bits at _L=15 and would break the 2-per-int32 single
-    # gather; the kernel recovers lens via `_lens_from_cv`).
+    # Kernel-side table: marker-encoded 16-bit entries (`_split_marker`):
+    # cv16 = code << (16 - _L) with a marker at bit 15 - len.  Zero-length
+    # entries (absent symbols, degenerate coding) stay 0.
     cv16 = (flat >> 4) << (16 - _L)
-    tab2 = jnp.concatenate(
-        [(cv16[0::2] | (cv16[1::2] << 16)).reshape(1, 128), jnp.zeros((1, 128), _I32)]
-    )
-    # Canonical boundaries for the in-kernel length chain, derived from
-    # the table itself (256 x 16 one-hot sum — noise next to the encode):
-    # E[l] = sum_{j<=l} len_count[j] << (_L - j), aligned to 16 bits.
     lens_tab = flat & 15
-    ls = jnp.arange(_L + 1, dtype=_I32)
-    len_count = jnp.sum(
-        (lens_tab[None, :] == ls[:, None]).astype(_I32)
-        & (flat[None, :] != 0), axis=1
+    ent = jnp.where(
+        lens_tab > 0, cv16 | (1 << (15 - jnp.minimum(lens_tab, 15))), 0
     )
-    e16 = jnp.cumsum(len_count << (_L - ls)) << (16 - _L)
-    any_code = (jnp.sum(jnp.abs(flat)) > 0).astype(_I32)
-    scal = jnp.zeros((1, 32), _I32)
-    scal = scal.at[0, : _L + 1].set(e16)
-    scal = scal.at[0, 15].set(any_code)
+    tab2 = jnp.concatenate(
+        [(ent[0::2] | (ent[1::2] << 16)).reshape(1, 128), jnp.zeros((1, 128), _I32)]
+    )
 
     kernel = _make_encode_kernel(S, t_rows, place_v2, mxu_prefix)
     words, bits = pl.pallas_call(
@@ -251,7 +238,6 @@ def encode_lanes_pallas(
         grid=(KR // _BLK,),
         in_specs=[
             pl.BlockSpec((S, _BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -262,5 +248,5 @@ def encode_lanes_pallas(
             _sds((t_rows, KR, 128), _I32, byte3),
             _sds((KR, 128), _I32, byte3),
         ),
-    )(byte3, scal, tab2)
+    )(byte3, tab2)
     return words, bits

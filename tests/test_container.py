@@ -143,3 +143,31 @@ def test_crc_less_container_still_accepted():
         [(k, rl, rec) for (k, _kx, rl, rec) in legacy], 32 << 10
     )
     assert container.decompress_blocks(blob2, codec) == raw
+
+
+def test_pipelined_multiblock_roundtrip_order():
+    """The device pipeline (PIPELINE_DEPTH blocks in flight) must keep
+    byte order across >depth blocks and mixed record kinds (a stored
+    record between huff blocks forces an ordered flush)."""
+    import numpy as np
+
+    from huffman_tpu.models.tpu_codec import TpuCodec
+    from huffman_tpu import container
+
+    rng = np.random.default_rng(3)
+    # 5 blocks of 64 KiB: block 2 is incompressible (stored fallback).
+    bs = 64 << 10
+    parts = []
+    for i in range(5):
+        if i == 2:
+            parts.append(rng.integers(0, 256, bs, dtype=np.uint8).tobytes())
+        else:
+            p = 0.8 ** np.arange(256) * 0.2
+            p /= p.sum()
+            parts.append(rng.choice(256, size=bs, p=p).astype(np.uint8).tobytes())
+    raw = b"".join(parts)[: 4 * bs + 1234]  # ragged final block
+    c = TpuCodec(64)
+    blob = container.compress_blocks(raw, c, bs)
+    kinds = [k for k, _kx, rl, _r in container.parse_records(blob)[2] if rl]
+    assert container.KIND_STORED in kinds and container.KIND_HUFF in kinds
+    assert container.decompress_blocks(blob, c) == raw

@@ -59,9 +59,16 @@ step ab_hist    1200 python tools/ab.py encode --a hist_stride=1 --b hist_stride
 step ab_place   1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,place_v2=1 --size 16777216 --rounds 5
 step ab_mxu     1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,mxu_prefix=1 --size 16777216 --rounds 5
 step ab_fused   1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,fused_tab=1 --size 16777216 --rounds 5
+# Headline again AFTER the marker-encoding encode fix (the first bench
+# step measured the 14-compare lens chain; different hash -> reruns).
+step bench2     600  python bench.py
 
 # Decode sanity A/B on the new 15-bit base: confirm fuse_r2 still wins.
 step ab_r2chk   1200 python tools/ab.py decode --b fuse_r2=0 --size 16777216 --rounds 5
+
+# Decode stage split on the 15-bit base (scan-only vs full): diagnoses
+# the post-migration decompress reading (chain grew 10 -> 13 terms).
+step dec_stages 1200 python tools/ab.py decode --a debug_stages=1 --b debug_stages=3 --size 16777216 --rounds 3 --skip-exact
 
 # fuse_r3 (third compaction round into the scan, new this round).
 step ab_r3      1200 python tools/ab.py decode --b fuse_r3=1 --size 16777216 --rounds 5
