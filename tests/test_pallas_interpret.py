@@ -428,3 +428,24 @@ def test_decode_kernel_fused_round_variants(style, flags):
     np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_f))
     got = np.asarray(out_f).reshape(s, k).astype(np.uint8).T.reshape(-1)
     np.testing.assert_array_equal(got, data)
+
+
+def test_split_marker_roundtrip_all_lengths():
+    """The marker entry encoding (cv16 | 1 << (15-len)) must split back
+    to exactly (cv16, len) for every length 1..15 at both extreme code
+    values, and map zero entries to (0, 0)."""
+    import jax.numpy as jnp
+
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as L
+    from huffman_tpu.ops.encode_pallas import _split_marker
+
+    ents, want_cv, want_ln = [0], [0], [0]
+    for ln in range(1, L + 1):
+        for code in (0, (1 << ln) - 1):  # first and last canonical value
+            cv16 = code << (16 - ln)
+            ents.append(cv16 | (1 << (15 - ln)))
+            want_cv.append(cv16)
+            want_ln.append(ln)
+    cv, lns = _split_marker(jnp.asarray(ents, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(cv), want_cv)
+    np.testing.assert_array_equal(np.asarray(lns), want_ln)
