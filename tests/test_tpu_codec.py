@@ -201,3 +201,21 @@ def test_sampled_hist_ratio_guard(which):
         ).code_lens
     )
     assert abs(d_new) < 0.01, f"clamped L=15 sampled table: {d_new:+.2%}"
+
+
+def test_wide_bit_counts_roundtrip():
+    """Lanes whose bit counts exceed 2^16 must serialize through the
+    u32 bit-count layout (len_mask bit 24).  At the 15-bit code limit
+    the threshold is lower than the 12-bit era (~4369 vs 5461 bytes per
+    lane of worst-case codes), so pin it with an incompressible corpus
+    whose lanes exceed 65536 bits."""
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 256, 80_000, dtype=np.uint8).tobytes()
+    c = TpuCodec(8)
+    import jax.numpy as jnp
+
+    comp = c.encode_device(jnp.asarray(np.frombuffer(raw, np.uint8)))
+    assert int(np.asarray(comp.bit_counts).max()) >= (1 << 16)
+    blob = c.serialize(comp)
+    assert c.decompress(blob) == raw
+    assert c.serialize(c.deserialize(blob)) == blob
