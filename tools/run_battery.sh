@@ -49,7 +49,10 @@ step() {  # step NAME TIMEOUT CMD...
 # The 15-bit table-limit migration changed every kernel program: warm the
 # compile cache, then take the round-4 headline (ratio should rise
 # 2.07 -> ~2.19 on the biased 16 MiB; throughputs to be confirmed).
-step prewarm    1800 python tools/prewarm_bench.py
+# The env tag is inert; it keys the resume hash to the kernel
+# generation so prewarm re-runs after kernel changes (marker-encode
+# commit 968192f changed every encode program).
+step prewarm    1800 env KERNEL_GEN=r4-marker python tools/prewarm_bench.py
 step bench      600  python bench.py
 
 # Round-3's decode A/Bs already answered val_rounds (+2.45% on fuse_r2=0,
