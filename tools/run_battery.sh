@@ -72,6 +72,9 @@ step ab_r2chk   1200 python tools/ab.py decode --b fuse_r2=0 --size 16777216 --r
 # Decode stage split on the 15-bit base (scan-only vs full): diagnoses
 # the post-migration decompress reading (chain grew 10 -> 13 terms).
 step dec_stages 1200 python tools/ab.py decode --a debug_stages=1 --b debug_stages=3 --size 16777216 --rounds 3 --skip-exact
+# Identity rank->symbol fast path vs the lane gather on the 15-bit
+# table (identity newly fires on biased data since the clamp).
+step ab_ident   1200 python tools/ab.py decode --b sym_gather=1 --size 16777216 --rounds 5
 
 # fuse_r3 (third compaction round into the scan, new this round).
 step ab_r3      1200 python tools/ab.py decode --b fuse_r3=1 --size 16777216 --rounds 5
