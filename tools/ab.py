@@ -103,6 +103,7 @@ def _decode_variant(comp, n: int, overrides: dict):
     from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
     from huffman_tpu.models.tpu_codec import decode_statics
     from huffman_tpu.ops.decode_pallas import (
+        DENSE_SPEC,
         decode_bitserial_pallas,
         decode_kernel_blk,
     )
@@ -119,6 +120,11 @@ def _decode_variant(comp, n: int, overrides: dict):
         raise SystemExit("fused kernel does not fit at this shape")
     scan = overrides.get("scan", "auto")
     debug_stages = overrides.get("debug_stages", 3)
+    if "spec_terms" in overrides:
+        # PERF-ONLY probe (pair with --skip-exact): a truncated compare
+        # chain misdecodes codes longer than its last level (rare junk
+        # symbols), but isolates the chain-length cost exactly.
+        spec = tuple(DENSE_SPEC[: overrides["spec_terms"]])
     words = comp.words
     if words.shape[0] < w:
         words = jnp.concatenate(
@@ -133,7 +139,8 @@ def _decode_variant(comp, n: int, overrides: dict):
         comp.tables["sorted_syms"],
     )
     kw = {kk: vv for kk, vv in overrides.items()
-          if kk not in ("blk", "scan", "debug_stages", "dev_slots", "sym_gather")}
+          if kk not in ("blk", "scan", "debug_stages", "dev_slots",
+                        "sym_gather", "spec_terms")}
 
     def once(pert):
         o = decode_bitserial_pallas(

@@ -75,6 +75,10 @@ step dec_stages 1200 python tools/ab.py decode --a debug_stages=1 --b debug_stag
 # Identity rank->symbol fast path vs the lane gather on the 15-bit
 # table (identity newly fires on biased data since the clamp).
 step ab_ident   1200 python tools/ab.py decode --b sym_gather=1 --size 16777216 --rounds 5
+# Chain-length cost in isolation (perf-only; truncated chain
+# misdecodes rare junk codes, hence --skip-exact): 14 terms
+# (production dense) vs the round-3-equivalent 11.
+step ab_spec    1200 python tools/ab.py decode --a spec_terms=14 --b spec_terms=11 --size 16777216 --rounds 5 --skip-exact
 
 # fuse_r3 (third compaction round into the scan, new this round).
 step ab_r3      1200 python tools/ab.py decode --b fuse_r3=1 --size 16777216 --rounds 5
