@@ -33,7 +33,7 @@ Serialized layout (little-endian):
     u8  count[popcount(len_mask)]   (256 wraps to 0, as ref profile)
     u8  syms[num_syms]
     pad to 2B | u16 bit_counts[K]   (u32 when len_mask bit 24 is set —
-                                     lanes longer than 5461 bytes)
+                                     worst-case lane bits >= 2^16)
     u8  payload[sum_k ceil(bits_k/8)]  (lane-major, byte-granular)
 
 The per-lane overhead is ~2.5 bytes (u16 count + partial final byte);

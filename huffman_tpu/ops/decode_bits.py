@@ -8,7 +8,7 @@ entirely):
   lane is at bit ``t`` of *its own* stream.  With the lane-transposed word
   payload, the input for 32 consecutive steps is ONE dense (K,) row — no
   per-lane addressing exists anywhere in the loop.
-* Countdown formulation: at every bit position the 12-bit lookahead window
+* Countdown formulation: at every bit position the MAX_CODE_LEN-bit window
   and the code length that *would* start there are computed independently
   of the serial state (pure feed-forward work the compiler can pipeline
   across bits); the only loop-carried value is a per-lane countdown ``c``
@@ -100,8 +100,8 @@ def decode_bitserial(words, bit_counts, e_bound, g_rank, syms, *, group: int, ou
         compaction, so no per-bit masking is needed at all.
       bit_counts: (K,) int32 — valid bits per lane (unused in the hot loop;
         kept for interface stability / debugging).
-      e_bound: (14,) int32 constant (`decode_tables_bitserial`).
-      g_rank: (13,) int32 constant.
+      e_bound: (MAX_CODE_LEN+2,) int32 constant (`decode_tables_bitserial`).
+      g_rank: (MAX_CODE_LEN+1,) int32 constant.
       syms: (256,) int32 constant rank->symbol.
       group: static int in [1, 32]; must be <= l_min of the coding.  Each
         group of ``group`` bit-steps shares one staging slot.
