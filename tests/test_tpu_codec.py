@@ -219,3 +219,45 @@ def test_wide_bit_counts_roundtrip():
     blob = c.serialize(comp)
     assert c.decompress(blob) == raw
     assert c.serialize(c.deserialize(blob)) == blob
+
+
+def test_encode_scan_fallback_matches_parallel():
+    """The serial-accumulator encode fallback (very long lane slices)
+    must emit bit-identical words to the prefix-sum path; its bit-buffer
+    shift math changed with the 15-bit limit (code << (32 - L - nbits))."""
+    import jax.numpy as jnp
+
+    from huffman_tpu import coding
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN
+    from huffman_tpu.ops import tables
+    from huffman_tpu.ops.encode import _encode_lanes_scan, encode_lanes
+
+    rng = np.random.default_rng(7)
+    data = np.frombuffer(biased_proba(n=4096), np.uint8)
+    cc = coding.make_canonical_coding(
+        np.bincount(data, minlength=256).astype(np.uint64),
+        TPU_MAX_CODE_LEN,
+        clamp=True,
+    )
+    # code_bits here are already 15-bit aligned (pack_encode_table is the
+    # ref-profile packer and would up-shift them again).
+    enc_table = jnp.asarray(
+        ((cc.code_bits.astype(np.int64) << 4) | cc.code_lens).astype(np.int32)
+    )
+    s, k = 256, 16
+    b2 = jnp.asarray(data).reshape(s, k).astype(jnp.int32)
+    valid = jnp.ones((s, k), bool)
+    w_par, wc_par, bits_par = encode_lanes(b2, valid, enc_table)
+    w_ser, wc_ser, bits_ser = _encode_lanes_scan(b2, valid, enc_table)
+    np.testing.assert_array_equal(np.asarray(bits_ser), np.asarray(bits_par))
+    np.testing.assert_array_equal(np.asarray(wc_ser), np.asarray(wc_par))
+    # Rows past a lane's word_count are unspecified (the serial path's
+    # compaction leaves -1 there; pack_u16_words_to_u32 masks by count),
+    # so compare only real words.
+    rows = min(w_par.shape[0], w_ser.shape[0])
+    row_idx = np.arange(rows)[:, None]
+    live = row_idx < np.asarray(wc_par)[None, :]
+    np.testing.assert_array_equal(
+        np.where(live, np.asarray(w_ser)[:rows], 0),
+        np.where(live, np.asarray(w_par)[:rows], 0),
+    )
