@@ -324,7 +324,10 @@ def decode_statics(m: dict, s: int) -> tuple:
         bucketing) and capped at the worst-case payload;
       spec — present-length compare-chain runs (dense unless >= 2 terms
         collapse, so dense alphabets share one compiled program);
-      syms_identity — True when rank -> symbol is the identity map;
+      syms_identity — ALWAYS False in the default dispatch (the identity
+        store measured 25.67% SLOWER than the lane gather on v5e even
+        though it does strictly less work; see the inline note).  The
+        identity path stays A/B-able via tools/ab.py's sym_ident=1;
       dev_slots — ALWAYS 0 in the default dispatch (sparse rank->symbol
         corrections measured 33.75% slower than the lane gather on v5e;
         see the inline note).  Nonzero {4, 8} buckets engage only via
@@ -343,7 +346,17 @@ def decode_statics(m: dict, s: int) -> tuple:
     ns = m["num_syms"]
     ss = np.asarray(m["sorted_syms"][:ns], np.int64)
     devs = np.nonzero(ss != np.arange(ns))[0]
-    syms_identity = len(devs) == 0
+    is_identity = len(devs) == 0
+    # The identity rank->symbol store is DISABLED in the default dispatch:
+    # the round-4 clamped table build canonicalizes the biased headline
+    # corpus to sorted_syms == identity, and the same-session on-chip A/B
+    # (tools/ab.py decode --b sym_gather=1, v5e, 16 MiB biased) measured
+    # the identity path 25.67% SLOWER than the unconditional lane gather
+    # (9.30 vs 11.68 GiB/s, bit-exact, spread 0.028) — Mosaic schedules
+    # the gather-free stage 3 worse, the same counter-intuitive effect as
+    # the debug_stages<=2 probe.  tools/ab.py sym_ident=1 re-enables it
+    # for future re-checks.
+    syms_identity = False
     # Sparse rank->symbol corrections (dev_slots) are DISABLED in the
     # default dispatch: same-session A/B (tools/ab.py, v5e, 16 MiB biased,
     # 7 deviations -> bucket 8) measured the correction chain 33.75%
@@ -353,7 +366,7 @@ def decode_statics(m: dict, s: int) -> tuple:
     # bit-exact under tools/ab.py's dev_slots= override.
     dev_slots = 0
     dev_rd = np.full((32,), -1, np.int32)
-    if not syms_identity and len(devs) <= 16:
+    if not is_identity and len(devs) <= 16:
         dev_rd[: len(devs)] = devs
         dev_rd[16 : 16 + len(devs)] = ss[devs] - devs
         dev_rd[16 + len(devs) : 32] = 0

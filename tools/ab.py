@@ -115,6 +115,13 @@ def _decode_variant(comp, n: int, overrides: dict):
     dev_slots = overrides.get("dev_slots", dev_slots)
     if overrides.get("sym_gather", 0):
         syms_identity, dev_slots = False, 0
+    if overrides.get("sym_ident", 0):
+        # Re-enable the identity rank->symbol store (production default
+        # since round 4 is the unconditional lane gather — the identity
+        # path A/B'd 25.67% slower despite doing less work).  Only valid
+        # on sources whose sorted_syms IS the identity map; bit-exactness
+        # checking will catch misuse.
+        syms_identity, dev_slots = True, 0
     blk = overrides.get("blk", decode_kernel_blk(w, group, s, k // 128))
     if not blk:
         raise SystemExit("fused kernel does not fit at this shape")
@@ -140,7 +147,7 @@ def _decode_variant(comp, n: int, overrides: dict):
     )
     kw = {kk: vv for kk, vv in overrides.items()
           if kk not in ("blk", "scan", "debug_stages", "dev_slots",
-                        "sym_gather", "spec_terms")}
+                        "sym_gather", "sym_ident", "spec_terms")}
 
     def once(pert):
         o = decode_bitserial_pallas(
