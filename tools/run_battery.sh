@@ -1,12 +1,14 @@
 #!/bin/bash
-# Round-4 on-chip measurement battery (serial; ONE TPU job at a time).
-# Each step is timeout-guarded and logged; a dead tunnel aborts the rest
-# (a hung XLA call would otherwise eat every step's timeout).
+# Round-4b on-chip measurement battery (serial; ONE TPU job at a time):
+# post-flip re-measures after the sym_gather decode-dispatch flip
+# (commit b6650c6).  Each step is timeout-guarded and logged; a dead
+# tunnel aborts the rest (a hung XLA call would otherwise eat every
+# step's timeout).
 #
 # Usage: bash tools/run_battery.sh [logdir]
 set -u
 cd "$(dirname "$0")/.."
-LOG=${1:-benchmarks/r4_battery_log}
+LOG=${1:-benchmarks/r4b_battery_log}
 mkdir -p "$LOG"
 
 probe() {
@@ -46,57 +48,36 @@ step() {  # step NAME TIMEOUT CMD...
   tail -3 "$LOG/$name.log" | sed 's/^/    /'
 }
 
-# The 15-bit table-limit migration changed every kernel program: warm the
-# compile cache, then take the round-4 headline (ratio should rise
-# 2.07 -> ~2.19 on the biased 16 MiB; throughputs to be confirmed).
-# The env tag is inert; it keys the resume hash to the kernel
-# generation so prewarm re-runs after kernel changes (marker-encode
-# commit 968192f changed every encode program).
-step prewarm    1800 env KERNEL_GEN=r4-marker python tools/prewarm_bench.py
+# The sym_gather flip selects a different (already-compiled for the
+# headline shape, but not for every prewarm shape) program variant:
+# re-warm, then take the post-flip headline.  Expectation: decompress
+# recovers from the 9.1-9.3 identity-path readings toward 11.7+ (the
+# ab_ident B side), compress unchanged, ratio stays 2.1917.
+step prewarm    1800 env KERNEL_GEN=r4b-gather python tools/prewarm_bench.py
 step bench      600  python bench.py
 
-# Round-3's decode A/Bs already answered val_rounds (+2.45% on fuse_r2=0,
-# +0.52% on production — no flip, twice measured); spend round-4 windows
-# on the ENCODE side, which was never measured on chip.
-step ab_hist    1200 python tools/ab.py encode --a hist_stride=1 --b hist_stride=8 --size 16777216 --rounds 5 --skip-exact
-step ab_place   1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,place_v2=1 --size 16777216 --rounds 5
-step ab_mxu     1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,mxu_prefix=1 --size 16777216 --rounds 5
-step ab_fused   1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=8,fused_tab=1 --size 16777216 --rounds 5
-# Headline again AFTER the marker-encoding encode fix (the first bench
-# step measured the 14-compare lens chain; different hash -> reruns).
-step bench2     600  python bench.py
+# Flip confirmation on-session: the identity path should now be the
+# LOSING B side (~-20%) of a bit-exact A/B.
+step ab_identchk 1200 python tools/ab.py decode --b sym_ident=1 --size 16777216 --rounds 5
 
-# Decode sanity A/B on the new 15-bit base: confirm fuse_r2 still wins.
-step ab_r2chk   1200 python tools/ab.py decode --b fuse_r2=0 --size 16777216 --rounds 5
-
-# Decode stage split on the 15-bit base (scan-only vs full): diagnoses
-# the post-migration decompress reading (chain grew 10 -> 13 terms).
-step dec_stages 1200 python tools/ab.py decode --a debug_stages=1 --b debug_stages=3 --size 16777216 --rounds 3 --skip-exact
-# Identity rank->symbol fast path vs the lane gather on the 15-bit
-# table (identity newly fires on biased data since the clamp).
-step ab_ident   1200 python tools/ab.py decode --b sym_gather=1 --size 16777216 --rounds 5
-# Chain-length cost in isolation (perf-only; truncated chain
-# misdecodes rare junk codes, hence --skip-exact): 14 terms
-# (production dense) vs the round-3-equivalent 11.
-step ab_spec    1200 python tools/ab.py decode --a spec_terms=14 --b spec_terms=11 --size 16777216 --rounds 5 --skip-exact
-
-# fuse_r3 (third compaction round into the scan, new this round).
+# fuse_r3 / fuse_r3+s3 re-measured ON THE GATHER BASE (their +2.2% /
+# +3.5% was read on the slow identity base; interaction unknown).
+# Flip threshold stays >=3%.
 step ab_r3      1200 python tools/ab.py decode --b fuse_r3=1 --size 16777216 --rounds 5
 step ab_r3s3    1200 python tools/ab.py decode --b fuse_r3=1,fuse_s3=1 --size 16777216 --rounds 5
 
-# Histogram variant race (C5 analog evidence).
-step hist_exp   1200 python tools/hist_experiments.py 16
-
-# Encode stage split at the production hist_stride (encode roofline input).
-step enc_stages 1200 python tools/probe_encode_stages.py 16
-
-# Flagship tables, all on the round-4 code.
-step suite      1800 python tools/run_benchmarks.py --size 4194304
-step small      1500 python tools/bench_small.py
+# Flagship tables post-flip (streaming decode read 9.09 on the identity
+# path; small's decompress column likewise).
 step streaming  1800 python tools/bench_streaming.py
+step small      1500 python tools/bench_small.py
+
+# Second headline reading for the drift band.
+step bench2     600  python bench.py
+
+# Batched-encode probe rerun (B>=160 hist superlinearity reproduction).
 step batched    1800 python tools/probe_batched.py
 
-# Real-chip pytest smoke.
+# Real-chip pytest smoke on the flipped dispatch.
 step smoke       900 python -m pytest tests/test_chip_smoke.py --runslow -q
 
 echo "BATTERY COMPLETE $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
