@@ -68,7 +68,7 @@ from ..ops.decode_pallas import (
 from ..ops.decode_words import pack_u16_words_to_u32
 from ..ops.encode import encode_lanes
 from ..ops.encode_pallas import encode_lanes_pallas
-from ..ops.lookup import histogram256
+from ..ops.lookup import histogram256, histogram256_batch
 from ..ops.table_build import build_coding_device
 
 MAGIC = 0x48545033  # 'HTP3'
@@ -284,15 +284,20 @@ def _encode_batch(blocks, s: int, k: int, w32: int, use_pallas: bool):
     scalar iterations run element-parallel across the whole batch, so B
     tables cost barely more than one."""
 
-    def one(block):
-        hist = histogram256(block)
+    # Histograms are hoisted OUT of the vmap: the vmapped sub-chunk
+    # histogram256 lowers to the XLA one-hot form whose (B, n, 16)
+    # intermediates scale superlinearly past B=128 on chip
+    # (probe_batched); the batched Pallas pass keeps one-hots in VMEM.
+    hists = histogram256_batch(blocks)
+
+    def one(block, hist):
         t = build_coding_device(hist, serial_tree=False)
         words32, bit_counts = _encode_with_tables_body(
             block, t["enc_table"], s, k, w32, use_pallas
         )
         return words32, bit_counts, t
 
-    return jax.vmap(one)(blocks)
+    return jax.vmap(one)(blocks, hists)
 
 
 @functools.partial(jax.jit, static_argnames=("s", "group", "w", "blk"))

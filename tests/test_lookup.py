@@ -55,3 +55,40 @@ def test_pack_unpack_decode_table():
     np.testing.assert_array_equal(n, t_n)
     np.testing.assert_array_equal(s0, t_s0)
     np.testing.assert_array_equal(s1, t_s1)
+
+
+def test_histogram256_batch_fallback_matches_bincount():
+    """CPU default backend falls back to vmap(histogram256)."""
+    from huffman_tpu.ops.lookup import histogram256_batch
+
+    rng = np.random.default_rng(3)
+    d = rng.integers(0, 256, size=(5, 4096)).astype(np.uint8)
+    got = np.asarray(histogram256_batch(jnp.asarray(d)))
+    want = np.stack([np.bincount(r, minlength=256) for r in d])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_histogram256_batch_pallas_interpret_exact():
+    """The fused batched Pallas pass is exact in interpret mode across
+    the dispatch corners: sub-quantum fallback, exact-chunk, padded tail,
+    and multi-chunk-per-block grids."""
+    from huffman_tpu.ops.lookup import _HIST_CHUNK, histogram256_batch
+
+    rng = np.random.default_rng(4)
+    for b, n in [(1, 1024), (3, 1000), (4, 102_400), (2, _HIST_CHUNK + 4096), (2, 777)]:
+        d = rng.integers(0, 256, size=(b, n)).astype(np.uint8)
+        got = np.asarray(histogram256_batch(jnp.asarray(d), interpret=True))
+        want = np.stack([np.bincount(r, minlength=256) for r in d])
+        np.testing.assert_array_equal(got, want, err_msg=f"B={b} n={n}")
+
+
+def test_histogram256_batch_skewed_single_symbol():
+    """All-one-byte blocks stress the padding correction (byte 0 column)."""
+    from huffman_tpu.ops.lookup import histogram256_batch
+
+    d = np.zeros((3, 70_000), dtype=np.uint8)
+    d[1, :] = 255
+    d[2, ::3] = 7
+    got = np.asarray(histogram256_batch(jnp.asarray(d), interpret=True))
+    want = np.stack([np.bincount(r, minlength=256) for r in d])
+    np.testing.assert_array_equal(got, want)

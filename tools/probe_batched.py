@@ -68,9 +68,19 @@ def main():
     gib = 1 << 30
     codec = TpuCodec(k=k)
 
+    from huffman_tpu.ops.lookup import histogram256_batch
+
     @functools.partial(jax.jit, static_argnames=())
     def hists_only(blocks):
+        # The pre-round-4 batched hist (kept as the A side): vmapped
+        # sub-chunk histogram256 lowers to the XLA one-hot form, the
+        # superlinear-past-B=128 stage this probe originally caught.
         return jax.vmap(histogram256)(blocks)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def hists_b_only(blocks):
+        # The round-4 fix now used by production _encode_batch.
+        return histogram256_batch(blocks)
 
     @jax.jit
     def tables_only(hists):
@@ -92,6 +102,9 @@ def main():
         def f_hist(pert):
             return jnp.sum(hists_only(blocks + pert)).astype(jnp.float32)
 
+        def f_hist_b(pert):
+            return jnp.sum(hists_b_only(blocks + pert)).astype(jnp.float32)
+
         def f_table(pert):
             t = tables_only(hists + pert.astype(hists.dtype))
             return jnp.sum(t["enc_table"]).astype(jnp.float32)
@@ -105,12 +118,13 @@ def main():
             return (jnp.sum(bits_) + jnp.sum(t_["enc_table"])).astype(jnp.float32)
 
         r = {"blocks": b, "bytes": b * nb}
-        for name, f in [("hist", f_hist), ("table", f_table),
-                        ("body", f_body), ("full", f_full)]:
+        for name, f in [("hist", f_hist), ("hist_b", f_hist_b),
+                        ("table", f_table), ("body", f_body), ("full", f_full)]:
             t = sustained_seconds(f, reps=args.reps, tries=3, max_reps=args.max_reps)
             r[f"{name}_ms"] = round(t * 1e3, 4)
         r["full_GiB_s"] = round(b * nb / (r["full_ms"] / 1e3) / gib, 3)
-        r["sum_stages_ms"] = round(r["hist_ms"] + r["table_ms"] + r["body_ms"], 4)
+        # Production _encode_batch uses the hist_b pass since round 4.
+        r["sum_stages_ms"] = round(r["hist_b_ms"] + r["table_ms"] + r["body_ms"], 4)
         rows.append(r)
         print(json.dumps(r), flush=True)
 
