@@ -697,9 +697,9 @@ def decode_bitserial_pallas(
     dyn_rounds: bool = False,
     legacy_pack: bool = False,
     fuse_r1: bool = False,
-    fuse_s3: bool = False,
+    fuse_s3: bool = True,
     fuse_r2: bool = True,
-    fuse_r3: bool = False,
+    fuse_r3: bool = True,
     val_rounds: bool = False,
     step_words=None,
 ):
@@ -749,19 +749,21 @@ def decode_bitserial_pallas(
         assert debug_stages == 3, "u8 output only for the full kernel"
     if dyn_rounds or legacy_pack:
         # Old-schedule reference variants (kept for A/B): they don't
-        # compose with the fused static-round flags.  Only the fuse_r2
-        # PRODUCTION DEFAULT is auto-cleared; a fuse flag explicitly set
-        # away from its default alongside legacy/dyn is a contradictory
-        # request and must be a hard error, not a silent no-op that
-        # records a plausible-looking A/B ratio for the wrong kernel.
+        # compose with the fused static-round flags.  Only the
+        # PRODUCTION DEFAULTS (fuse_r2/fuse_r3/fuse_s3 since the round-4
+        # gather-base A/B flip) are auto-cleared; a fuse flag explicitly
+        # set away from its default alongside legacy/dyn is a
+        # contradictory request and must be a hard error, not a silent
+        # no-op that records a plausible-looking A/B ratio for the wrong
+        # kernel.
         assert not val_rounds, (
             "val_rounds is a static-round-schedule variant"
         )
-        if fuse_r1 or fuse_s3 or fuse_r3:
+        if fuse_r1:
             raise ValueError(
-                "fuse_r1/fuse_s3/fuse_r3 do not compose with legacy_pack/dyn_rounds"
+                "fuse_r1 does not compose with legacy_pack/dyn_rounds"
             )
-        fuse_r2 = False
+        fuse_r2 = fuse_r3 = fuse_s3 = False
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
         syms_identity, dev_slots, out_u8, dyn_rounds, legacy_pack,
