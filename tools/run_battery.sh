@@ -1,14 +1,14 @@
 #!/bin/bash
-# Round-4b on-chip measurement battery (serial; ONE TPU job at a time):
-# post-flip re-measures after the sym_gather decode-dispatch flip
-# (commit b6650c6).  Each step is timeout-guarded and logged; a dead
+# Round-4c on-chip measurement battery (serial; ONE TPU job at a time):
+# re-measures after the fuse_r3+fuse_s3 default flip (34f2cd9) and the
+# fused batched histogram (af5eedb).  Each step is timeout-guarded and logged; a dead
 # tunnel aborts the rest (a hung XLA call would otherwise eat every
 # step's timeout).
 #
 # Usage: bash tools/run_battery.sh [logdir]
 set -u
 cd "$(dirname "$0")/.."
-LOG=${1:-benchmarks/r4b_battery_log}
+LOG=${1:-benchmarks/r4c_battery_log}
 mkdir -p "$LOG"
 
 probe() {
@@ -48,36 +48,25 @@ step() {  # step NAME TIMEOUT CMD...
   tail -3 "$LOG/$name.log" | sed 's/^/    /'
 }
 
-# The sym_gather flip selects a different (already-compiled for the
-# headline shape, but not for every prewarm shape) program variant:
-# re-warm, then take the post-flip headline.  Expectation: decompress
-# recovers from the 9.1-9.3 identity-path readings toward 11.7+ (the
-# ab_ident B side), compress unchanged, ratio stays 2.1917.
-step prewarm    1800 env KERNEL_GEN=r4b-gather python tools/prewarm_bench.py
+# Round-4c steps: post-r3s3-flip headline + the batched-hist fix.
+step prewarm    1800 env KERNEL_GEN=r4c-r3s3 python tools/prewarm_bench.py
 step bench      600  python bench.py
 
-# Flip confirmation on-session: the identity path should now be the
-# LOSING B side (~-20%) of a bit-exact A/B.
-step ab_identchk 1200 python tools/ab.py decode --b sym_ident=1 --size 16777216 --rounds 5
+# Flip confirmation on-session: turning the new fuse_r3+s3 defaults OFF
+# should lose ~3.5%.
+step ab_r3s3chk 1200 python tools/ab.py decode --b fuse_r3=0,fuse_s3=0 --size 16777216 --rounds 5
 
-# fuse_r3 / fuse_r3+s3 re-measured ON THE GATHER BASE (their +2.2% /
-# +3.5% was read on the slow identity base; interaction unknown).
-# Flip threshold stays >=3%.
-step ab_r3      1200 python tools/ab.py decode --b fuse_r3=1 --size 16777216 --rounds 5
-step ab_r3s3    1200 python tools/ab.py decode --b fuse_r3=1,fuse_s3=1 --size 16777216 --rounds 5
+# Batched-hist fix: hist (old vmapped) vs hist_b (fused Pallas) stages,
+# plus the production full encode at each B.
+step batched    1800 python tools/probe_batched.py
 
-# Flagship tables post-flip (streaming decode read 9.09 on the identity
-# path; small's decompress column likewise).
+# Streaming/batched curves on the fixed _encode_batch.
 step streaming  1800 python tools/bench_streaming.py
-step small      1500 python tools/bench_small.py
 
 # Second headline reading for the drift band.
 step bench2     600  python bench.py
 
-# Batched-encode probe rerun (B>=160 hist superlinearity reproduction).
-step batched    1800 python tools/probe_batched.py
-
-# Real-chip pytest smoke on the flipped dispatch.
+# Real-chip pytest smoke on the new defaults.
 step smoke       900 python -m pytest tests/test_chip_smoke.py --runslow -q
 
 echo "BATTERY COMPLETE $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
