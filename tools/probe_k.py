@@ -1,0 +1,92 @@
+"""Lane-count sweep at the headline size (16 MiB biased).
+
+`default_lanes` pins 16 MiB at k=131072 (S=128 bytes/lane) by clamp, a
+heuristic chosen in round 1 and never swept on chip at this size.  More
+lanes = shorter scan word loops + fewer compaction rounds per lane but
+more grid steps and a larger prefix-sum/bit-count surface; fewer lanes
+= the reverse.  This probe measures the production encode AND decode
+programs at S in {256, 128, 64} in ONE session so the readings are
+drift-comparable (same methodology as bench.py, which this reuses
+field-for-field).
+
+Usage: python tools/probe_k.py [--ks 65536,131072,262144] [--size 16777216]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ks", default="65536,131072,262144")
+    ap.add_argument("--size", type=int, default=16 << 20)
+    ap.add_argument("--reps", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from huffman_tpu.bench.harness import sustained_seconds
+    from huffman_tpu.bench.workloads import biased_u8 as biased
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
+    from huffman_tpu.models.tpu_codec import (
+        TpuCodec,
+        _decode_full,
+        _encode_full,
+        decode_statics,
+    )
+
+    n = args.size
+    data = biased(n)
+    d = jax.device_put(jnp.asarray(data))
+    gib = 1 << 30
+
+    for k in [int(x) for x in args.ks.split(",")]:
+        codec = TpuCodec(k=k)
+        comp = codec.encode_device(d)
+        out = codec.decode_device(comp)
+        ok = np.array_equal(np.asarray(out).reshape(-1)[:n], data)
+        m = comp.meta()
+        s = -(-n // k)
+        w32 = (s * MAX_CODE_LEN + 31) // 32 + 1
+        group, w, spec, syms_identity, dev_slots, dev_rd = decode_statics(m, s)
+        use_pallas = jax.default_backend() != "cpu" and k % 1024 == 0 and 2 <= s <= 256
+        hist_stride = codec._hist_stride(n)
+
+        def enc_once(pert):
+            words32, bits, t = _encode_full(d + pert, s, k, w32, use_pallas, hist_stride)
+            return (jnp.sum(bits) + jnp.sum(t["enc_table"])).astype(jnp.float32)
+
+        words = comp.words
+        eb, gr, sy = (
+            comp.tables["e_bound"],
+            comp.tables["g_rank"],
+            comp.tables["sorted_syms"],
+        )
+
+        def dec_once(pert):
+            o = _decode_full(
+                words + pert.astype(jnp.uint32), eb, gr, sy, s, n, group, w,
+                spec, syms_identity, comp.bit_counts, dev_slots, dev_rd,
+            )
+            return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
+
+        t_c = sustained_seconds(enc_once, reps=args.reps, tries=4)
+        t_d = sustained_seconds(dec_once, reps=args.reps, tries=4)
+        print(json.dumps({
+            "k": k, "s": s, "w": w, "group": group,
+            "compress_GiB_s": round(n / t_c / gib, 3),
+            "decompress_GiB_s": round(n / t_d / gib, 3),
+            "combined_GiB_s": round(n / (t_c + t_d) / gib, 3),
+            "roundtrip_ok": bool(ok),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
