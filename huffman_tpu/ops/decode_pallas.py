@@ -128,6 +128,7 @@ def _make_decode_kernel(
     fuse_r2: bool = False,
     fuse_r3: bool = False,
     val_rounds: bool = False,
+    stage_ln: bool = False,
 ):
     slots = -(-32 // group)
     T = t_rows
@@ -228,13 +229,24 @@ def _make_decode_kernel(
             svals = [empty] * slots
             rowbase = w * slots
 
-            def pack_ent(win, c2, sl):
+            def pack_ent(win, ln, c2, sl):
                 # legacy_pack: pre-round-3 layout ((rank<<12)|win staged,
                 # repacked to disp-high in a stage-2 prologue).  Kept ONLY
                 # as the ab.py reference variant for the packed-in-scan
                 # rewrite; not reachable from production dispatch.
                 if legacy_pack:
                     return (c2 << MAX_CODE_LEN) | win
+                if stage_ln:
+                    # stage_ln payload: (offset << 4) | ln, where offset =
+                    # win >> (MAX - ln) is the rank term the scan already
+                    # has the inputs for (ln sits on the countdown path
+                    # anyway).  Stage 3 then needs only the g_rank
+                    # telescope on the 4-bit ln — its 15-bit compare chain
+                    # and variable shift disappear.  ln >= 1 keeps valid
+                    # entries nonzero, so the former +1 validity bias is
+                    # free.  Width: 15 (offset) + 4 (ln) + db <= 29 bits.
+                    off = win >> (MAX_CODE_LEN - ln)
+                    return (((off << 4) | ln) << db) | (rowbase + sl - c2)
                 return ((win + 1) << db) | (rowbase + sl - c2)
 
             def full_at(j):
@@ -279,7 +291,9 @@ def _make_decode_kernel(
                     # Stage the packed form directly (disp = row - rank =
                     # rowbase + sl - c2): this deletes the former stage-2
                     # repacking pass over all T rows.
-                    svals[sl] = jnp.where(boundary, pack_ent(win, c2, sl), svals[sl])
+                    svals[sl] = jnp.where(
+                        boundary, pack_ent(win, ln, c2, sl), svals[sl]
+                    )
                     c = jnp.where(boundary, ln - 1, c - 1)
                     c2 = c2 + boundary.astype(_I32)
             else:
@@ -310,7 +324,7 @@ def _make_decode_kernel(
                         ln = parts[0]
                         for t in parts[1:]:
                             ln = ln + t
-                    svals[sl] = jnp.where(bany, pack_ent(win, c2, sl), svals[sl])
+                    svals[sl] = jnp.where(bany, pack_ent(win, ln, c2, sl), svals[sl])
                     # Boundary at offset c: after it the countdown is
                     # ln - 1, minus the (wd - 1 - c) bits left in the
                     # group  =>  ln + c - wd.  No boundary: c - wd.
@@ -424,25 +438,48 @@ def _make_decode_kernel(
         # [l < lw], so the cumulative table telescopes into scalar deltas),
         # and the 256-entry rank->symbol table becomes ONE gather of
         # byte-packed pairs plus a parity select.
-        def _stage3(codes):
-            lw = jnp.ones(codes.shape, _I32)
-            g = jnp.full(codes.shape, scal_ref[0, _GOFF + 1], _I32)  # g_rank[1]
-            for l, m in spec:
-                ind = codes >= scal_ref[0, l]
-                lw = lw + (ind.astype(_I32) if m == 1 else jnp.where(ind, m, 0))
-                # Run l..l+m-1 shares one indicator; the telescoping g_rank
-                # deltas over the run combine into one span delta.
-                g = g + jnp.where(
-                    ind, scal_ref[0, _GOFF + l + m] - scal_ref[0, _GOFF + l], 0
-                )
+        def _stage3(pay):
+            # ``pay`` is the staged payload with the displacement field
+            # already shifted off: (win + 1) in the default layout,
+            # (offset << 4) | ln under stage_ln (0 on empty rows either
+            # way).
             flat_rows = out_len * blk
-            lw2 = lw.reshape(flat_rows, 128)
-            # Arithmetic shift keeps empty-row codes (-1) negative so the
-            # clip lands them on rank 0 (degenerate single-symbol handling).
-            rank = (codes.reshape(flat_rows, 128) >> (MAX_CODE_LEN - lw2)) + (
-                g.reshape(flat_rows, 128)
-            )
-            rank = jnp.clip(rank, 0, 255)
+            if stage_ln:
+                # The scan already resolved length and offset; only the
+                # g_rank telescope remains, and its indicators are 4-bit
+                # length compares instead of 15-bit window compares.
+                lnv = pay & 15
+                g = jnp.full(pay.shape, scal_ref[0, _GOFF + 1], _I32)  # g_rank[1]
+                for l, m in spec:
+                    ind = lnv > l
+                    g = g + jnp.where(
+                        ind, scal_ref[0, _GOFF + l + m] - scal_ref[0, _GOFF + l], 0
+                    )
+                # Empty rows: pay 0 -> ln 0, offset 0, g = g_rank[1] = 0
+                # -> rank 0, matching the default layout's clipped -1.
+                rank = ((pay >> 4) + g).reshape(flat_rows, 128)
+                rank = jnp.clip(rank, 0, 255)
+            else:
+                codes = pay - 1
+                lw = jnp.ones(codes.shape, _I32)
+                g = jnp.full(codes.shape, scal_ref[0, _GOFF + 1], _I32)  # g_rank[1]
+                for l, m in spec:
+                    ind = codes >= scal_ref[0, l]
+                    lw = lw + (ind.astype(_I32) if m == 1 else jnp.where(ind, m, 0))
+                    # Run l..l+m-1 shares one indicator; the telescoping
+                    # g_rank deltas over the run combine into one span
+                    # delta.
+                    g = g + jnp.where(
+                        ind, scal_ref[0, _GOFF + l + m] - scal_ref[0, _GOFF + l], 0
+                    )
+                lw2 = lw.reshape(flat_rows, 128)
+                # Arithmetic shift keeps empty-row codes (-1) negative so
+                # the clip lands them on rank 0 (degenerate single-symbol
+                # handling).
+                rank = (codes.reshape(flat_rows, 128) >> (MAX_CODE_LEN - lw2)) + (
+                    g.reshape(flat_rows, 128)
+                )
+                rank = jnp.clip(rank, 0, 255)
 
             if syms_identity:
                 # Monotone-frequency sources (freq non-increasing in symbol
@@ -519,11 +556,11 @@ def _make_decode_kernel(
                 lround_(bufs[cur], bufs[cur ^ 1], sh)
                 cur ^= 1
                 sh <<= 1
-            codes = (bufs[cur][:out_len] & ((1 << (MAX_CODE_LEN + 1)) - 1)) - 1
+            pay = bufs[cur][:out_len] & ((1 << (MAX_CODE_LEN + 1)) - 1)
             if debug_stages <= 2:
-                out_ref[:] = codes
+                out_ref[:] = pay - 1
                 return
-            _stage3(codes)
+            _stage3(pay)
             return
         # Ping-pong between the two (padded) scratch buffers: each round
         # reads the base rows and a statically shifted slice — no rolls,
@@ -594,11 +631,11 @@ def _make_decode_kernel(
                     arrive = (xs & sh) != 0
                     stay = (base & sh) == 0
                     packed = jnp.where(arrive, xs - sh, jnp.where(stay, base, 0))
-                codes = (packed[:out_len] >> db) - 1
+                pay = packed[:out_len] >> db
                 if debug_stages <= 2:
-                    out_ref[:] = codes
+                    out_ref[:] = pay - 1
                     return
-                _stage3(codes)
+                _stage3(pay)
                 return
             # fuse_s3: the last round's merged rows feed stage 3 as a
             # register value instead of a store + re-read of out_len rows
@@ -659,13 +696,13 @@ def _make_decode_kernel(
             else:
                 final = st_ref[:out_len]
 
-        codes = (final >> db) - 1  # (out_len, BLK, 128)
+        pay = final >> db  # (out_len, BLK, 128)
 
         if debug_stages <= 2:  # perf probe: scan + compaction only
-            out_ref[:] = codes
+            out_ref[:] = pay - 1
             return
 
-        _stage3(codes)
+        _stage3(pay)
 
     return kernel
 
@@ -675,7 +712,7 @@ def _make_decode_kernel(
     static_argnames=(
         "group", "out_len", "blk", "scan", "spec", "debug_stages",
         "syms_identity", "dev_slots", "out_u8", "dyn_rounds", "legacy_pack",
-        "fuse_r1", "fuse_s3", "fuse_r2", "fuse_r3", "val_rounds",
+        "fuse_r1", "fuse_s3", "fuse_r2", "fuse_r3", "val_rounds", "stage_ln",
     ),
 )
 def decode_bitserial_pallas(
@@ -701,6 +738,7 @@ def decode_bitserial_pallas(
     fuse_r2: bool = True,
     fuse_r3: bool = True,
     val_rounds: bool = False,
+    stage_ln: bool = False,
     step_words=None,
 ):
     """Fused TPU decode.
@@ -759,15 +797,15 @@ def decode_bitserial_pallas(
         assert not val_rounds, (
             "val_rounds is a static-round-schedule variant"
         )
-        if fuse_r1:
+        if fuse_r1 or stage_ln:
             raise ValueError(
-                "fuse_r1 does not compose with legacy_pack/dyn_rounds"
+                "fuse_r1/stage_ln do not compose with legacy_pack/dyn_rounds"
             )
         fuse_r2 = fuse_r3 = fuse_s3 = False
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
         syms_identity, dev_slots, out_u8, dyn_rounds, legacy_pack,
-        fuse_r1, fuse_s3, fuse_r2, fuse_r3, val_rounds,
+        fuse_r1, fuse_s3, fuse_r2, fuse_r3, val_rounds, stage_ln,
     )
     d_max = max(t_rows - out_len + 1, 0)
     pad = _compaction_pad(d_max)

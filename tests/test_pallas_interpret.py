@@ -387,8 +387,14 @@ def test_decode_kernel_legacy_pack_matches(style):
         {"fuse_r2": True, "val_rounds": True},
         {"fuse_r3": True},
         {"fuse_r3": True, "fuse_s3": True},
+        {"stage_ln": True},
+        {"stage_ln": True, "fuse_r2": False, "fuse_r3": False, "fuse_s3": False},
+        {"stage_ln": True, "val_rounds": True},
+        {"scan": "group"},
+        {"scan": "group", "stage_ln": True},
     ],
-    ids=["r1", "s3", "r1+s3", "r2", "r2+s3", "val", "r2+val", "r3", "r3+s3"],
+    ids=["r1", "s3", "r1+s3", "r2", "r2+s3", "val", "r2+val", "r3", "r3+s3",
+         "lnpack", "lnpack-nofuse", "lnpack+val", "gscan", "gscan+lnpack"],
 )
 def test_decode_kernel_fused_round_variants(style, flags):
     """fuse_r1 (round 1 merged into the scan's slot stores) and fuse_s3
