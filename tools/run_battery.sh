@@ -56,12 +56,20 @@ step bench      600  python bench.py
 # should lose ~3.5%.
 step ab_r3s3chk 1200 python tools/ab.py decode --b fuse_r3=0,fuse_s3=0 --size 16777216 --rounds 5
 
+# stage_ln: scan stages (offset, ln); stage 3 drops its compare chain
+# (est +3-6% from the ab_spec 4%/term reading).  Flip if >=3%.
+step ab_lnpack  1200 python tools/ab.py decode --b stage_ln=1 --size 16777216 --rounds 5
+
 # Batched-hist fix: hist (old vmapped) vs hist_b (fused Pallas) stages,
 # plus the production full encode at each B.
 step batched    1800 python tools/probe_batched.py
 
 # Streaming/batched curves on the fixed _encode_batch.
 step streaming  1800 python tools/bench_streaming.py
+
+# Lane-count sweep at the headline size (S in {256,128,64}; default
+# k=131072 was a round-1 clamp heuristic, never swept on chip).
+step probe_k    1800 python tools/probe_k.py
 
 # Second headline reading for the drift band.
 step bench2     600  python bench.py
