@@ -129,6 +129,7 @@ def _make_decode_kernel(
     fuse_r3: bool = False,
     val_rounds: bool = False,
     stage_ln: bool = False,
+    fuse_r4: bool = False,
 ):
     slots = -(-32 // group)
     T = t_rows
@@ -150,9 +151,20 @@ def _make_decode_kernel(
     # round-2 outputs, so stores lag SEVEN rows and the carry holds the
     # last raw slot, the last two round-1 rows and the last four round-2
     # rows.  Requires slots >= 8 (groups <= 4).
-    r1 = (fuse_r1 or fuse_r2 or fuse_r3) and d_max_static >= 1 and not legacy_pack
-    r2 = (fuse_r2 or fuse_r3) and d_max_static >= 2 and not legacy_pack and slots >= 4
-    r3 = fuse_r3 and d_max_static >= 4 and not legacy_pack and slots >= 8
+    # fuse_r4: a fourth level — round 4 (sh=8) consumes the in-register
+    # round-3 outputs, so stores lag FIFTEEN rows and the carry adds the
+    # last eight round-3 rows (17 carried (blk,128) rows total).
+    # Requires slots >= 16 (groups <= 2 — true on the biased headline).
+    r1 = (
+        fuse_r1 or fuse_r2 or fuse_r3 or fuse_r4
+    ) and d_max_static >= 1 and not legacy_pack
+    r2 = (
+        fuse_r2 or fuse_r3 or fuse_r4
+    ) and d_max_static >= 2 and not legacy_pack and slots >= 4
+    r3 = (
+        fuse_r3 or fuse_r4
+    ) and d_max_static >= 4 and not legacy_pack and slots >= 8
+    r4 = fuse_r4 and d_max_static >= 8 and not legacy_pack and slots >= 16
     # Staged-entry layout: (win + 1) << db | disp, invalid rows 0.  The
     # displacement sits in the LOW bits so each compaction round tests
     # and clears its bit with `& sh` / `- sh` — no shifts on the merge
@@ -199,6 +211,12 @@ def _make_decode_kernel(
             arrive = (xs & 4) != 0
             stay = (base & 4) == 0
             return jnp.where(arrive, xs - 4, jnp.where(stay, base, 0))
+
+        def merge4(base, xs):
+            # Compaction round sh=8 on round-3 register values.
+            arrive = (xs & 8) != 0
+            stay = (base & 8) == 0
+            return jnp.where(arrive, xs - 8, jnp.where(stay, base, 0))
 
         def _store(x):
             # u8 output quarters the HBM write (S*K bytes instead of
@@ -330,6 +348,33 @@ def _make_decode_kernel(
                     # group  =>  ln + c - wd.  No boundary: c - wd.
                     c = jnp.where(bany, ln + c, c) - wd
                     c2 = c2 + bany.astype(_I32)
+            if r4:
+                # One level past fuse_r3: r3a[j] = round-3 row
+                # (w*slots - 7 + j); round-4 row r merges r3-rows r and
+                # r+8, so stores lag FIFTEEN rows.  carry[2] = prev
+                # word's last raw slot, carry[3:5] its last two m-rows,
+                # carry[5:9] its last four r2-rows, carry[9:17] its last
+                # eight r3-rows.  At w=0 the clamped prologue writes land
+                # on row 0 and are overwritten by the true row-0 store
+                # (j = 15; slots >= 16 guarantees it happens this
+                # iteration) in program order.
+                m = [merge1(carry[2], svals[0])] + [
+                    merge1(svals[i], svals[i + 1]) for i in range(slots - 1)
+                ]
+                r2a = [merge2(carry[3], m[0]), merge2(carry[4], m[1])] + [
+                    merge2(m[i], m[i + 2]) for i in range(slots - 2)
+                ]
+                r3a = [merge3(carry[5 + j], r2a[j]) for j in range(4)] + [
+                    merge3(r2a[j - 4], r2a[j]) for j in range(4, slots)
+                ]
+                for j in range(slots):
+                    lo = carry[9 + j] if j < 8 else r3a[j - 8]
+                    st_ref[jnp.maximum(w * slots - 15 + j, 0)] = merge4(lo, r3a[j])
+                return (
+                    (c, c2, svals[slots - 1], m[slots - 2], m[slots - 1])
+                    + tuple(r2a[slots - 4 :])
+                    + tuple(r3a[slots - 8 :])
+                )
             if r3:
                 # One level past fuse_r2: r2a[j] = round-2 row
                 # (w*slots - 3 + j), built from the round-1 m-rows;
@@ -384,7 +429,9 @@ def _make_decode_kernel(
             return (c, c2)
 
         init = (jnp.zeros(shape, _I32), jnp.zeros(shape, _I32))
-        if r3:
+        if r4:
+            init = init + (jnp.zeros(shape, _I32),) * 15
+        elif r3:
             init = init + (jnp.zeros(shape, _I32),) * 7
         elif r2:
             init = init + (jnp.zeros(shape, _I32),) * 3
@@ -392,7 +439,29 @@ def _make_decode_kernel(
             init = init + (jnp.zeros(shape, _I32),)
         fin = jax.lax.fori_loop(0, w_stop, row_step, init)
         zero = jnp.zeros(shape, _I32)
-        if r3:
+        if r4:
+            # Deferred tail: rebuild the m/r2/r3 rows that depend on raw
+            # row T' (= 0), then flush the last fifteen round-4 rows
+            # (carried r3 rows T'-15..T'-8 sit in fin[9:17]).
+            mm1 = merge1(fin[2], zero)
+            r2t3 = merge2(fin[3], mm1)
+            r2t2 = merge2(fin[4], zero)
+            r2t1 = merge2(mm1, zero)
+            r3t = [
+                merge3(fin[5], r2t3),   # r3 row T'-7
+                merge3(fin[6], r2t2),   # T'-6
+                merge3(fin[7], r2t1),   # T'-5
+                merge3(fin[8], zero),   # T'-4
+                merge3(r2t3, zero),     # T'-3
+                merge3(r2t2, zero),     # T'-2
+                merge3(r2t1, zero),     # T'-1
+            ]
+            for j in range(7):
+                st_ref[w_stop * slots - 15 + j] = merge4(fin[9 + j], r3t[j])
+            st_ref[w_stop * slots - 8] = merge4(fin[16], zero)
+            for j in range(7):
+                st_ref[w_stop * slots - 7 + j] = merge4(r3t[j], zero)
+        elif r3:
             # Deferred tail: round-1 row T'-1 (raw row T' = 0), the last
             # three round-2 rows, then the last seven round-3 rows
             # (carried r2 rows T'-7..T'-4 in fin[5:9]).
@@ -608,7 +677,7 @@ def _make_decode_kernel(
         if not dyn_rounds:
             # fuse_r1/fuse_r2 already ran rounds sh=1 (and sh=2) inside
             # the scan's stores.
-            skip = 3 if r3 else (2 if r2 else (1 if r1 else 0))
+            skip = 4 if r4 else (3 if r3 else (2 if r2 else (1 if r1 else 0)))
             rs = shifts[skip:]
             rh = heights[skip:]
             if val_rounds:
@@ -713,6 +782,7 @@ def _make_decode_kernel(
         "group", "out_len", "blk", "scan", "spec", "debug_stages",
         "syms_identity", "dev_slots", "out_u8", "dyn_rounds", "legacy_pack",
         "fuse_r1", "fuse_s3", "fuse_r2", "fuse_r3", "val_rounds", "stage_ln",
+        "fuse_r4",
     ),
 )
 def decode_bitserial_pallas(
@@ -739,6 +809,7 @@ def decode_bitserial_pallas(
     fuse_r3: bool = True,
     val_rounds: bool = False,
     stage_ln: bool = False,
+    fuse_r4: bool = False,
     step_words=None,
 ):
     """Fused TPU decode.
@@ -797,15 +868,15 @@ def decode_bitserial_pallas(
         assert not val_rounds, (
             "val_rounds is a static-round-schedule variant"
         )
-        if fuse_r1 or stage_ln:
+        if fuse_r1 or stage_ln or fuse_r4:
             raise ValueError(
-                "fuse_r1/stage_ln do not compose with legacy_pack/dyn_rounds"
+                "fuse_r1/stage_ln/fuse_r4 do not compose with legacy_pack/dyn_rounds"
             )
         fuse_r2 = fuse_r3 = fuse_s3 = False
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
         syms_identity, dev_slots, out_u8, dyn_rounds, legacy_pack,
-        fuse_r1, fuse_s3, fuse_r2, fuse_r3, val_rounds, stage_ln,
+        fuse_r1, fuse_s3, fuse_r2, fuse_r3, val_rounds, stage_ln, fuse_r4,
     )
     d_max = max(t_rows - out_len + 1, 0)
     pad = _compaction_pad(d_max)
