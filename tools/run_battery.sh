@@ -60,6 +60,11 @@ step ab_r3s3chk 1200 python tools/ab.py decode --b fuse_r3=0,fuse_s3=0 --size 16
 # (est +3-6% from the ab_spec 4%/term reading).  Flip if >=3%.
 step ab_lnpack  1200 python tools/ab.py decode --b stage_ln=1 --size 16777216 --rounds 5
 
+# fuse_r4: fourth compaction round into the scan (17 carried register
+# rows); composes with stage_ln.  Flip if >=3%.
+step ab_r4      1200 python tools/ab.py decode --b fuse_r4=1 --size 16777216 --rounds 5
+step ab_r4ln    1200 python tools/ab.py decode --b fuse_r4=1,stage_ln=1 --size 16777216 --rounds 5
+
 # Batched-hist fix: hist (old vmapped) vs hist_b (fused Pallas) stages,
 # plus the production full encode at each B.
 step batched    1800 python tools/probe_batched.py
