@@ -67,6 +67,11 @@ def main() -> int:
         "ab_r3s3": "fuse_r3=1,fuse_s3=1",
         "ab_val": "val_rounds on fuse_r2=0 (closed: +2.45%)",
         "ab_r2val": "val_rounds=1 (closed: +0.52%)",
+        # Round-4c staged variants (fuse_r2/r3/s3 are the production
+        # defaults on the A side since 34f2cd9).
+        "ab_lnpack": "stage_ln=1",
+        "ab_r4": "fuse_r4=1",
+        "ab_r4ln": "fuse_r4=1,stage_ln=1",
     }
     encode_combos = {
         "ab_place": "place_v2=1",
@@ -94,7 +99,12 @@ def main() -> int:
         sp = report(name, flags)
         if sp is not None and sp > best_sp:
             best_name, best_sp = name, sp
-    for guard, what in (("ab_legacy", "pre-round-3 layout"), ("ab_r2chk", "fuse_r2 OFF")):
+    for guard, what in (
+        ("ab_legacy", "pre-round-3 layout"),
+        ("ab_r2chk", "fuse_r2 OFF"),
+        ("ab_identchk", "identity rank->symbol ON"),
+        ("ab_r3s3chk", "fuse_r3+s3 OFF"),
+    ):
         g = last_json(logdir / f"{guard}.log")
         if g and "b_speedup_pct" in g:
             sp = g["b_speedup_pct"]
