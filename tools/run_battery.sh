@@ -65,6 +65,9 @@ step ab_lnpack  1200 python tools/ab.py decode --b stage_ln=1 --size 16777216 --
 step ab_r4      1200 python tools/ab.py decode --b fuse_r4=1 --size 16777216 --rounds 5
 step ab_r4ln    1200 python tools/ab.py decode --b fuse_r4=1,stage_ln=1 --size 16777216 --rounds 5
 
+# Second headline reading pulled up ahead of the long probes (deadline).
+step bench2     600  python bench.py
+
 # Batched-hist fix: hist (old vmapped) vs hist_b (fused Pallas) stages,
 # plus the production full encode at each B.
 step batched    1800 python tools/probe_batched.py
@@ -75,9 +78,6 @@ step streaming  1800 python tools/bench_streaming.py
 # Lane-count sweep at the headline size (S in {256,128,64}; default
 # k=131072 was a round-1 clamp heuristic, never swept on chip).
 step probe_k    1800 python tools/probe_k.py
-
-# Second headline reading for the drift band.
-step bench2     600  python bench.py
 
 # Real-chip pytest smoke on the new defaults.
 step smoke       900 python -m pytest tests/test_chip_smoke.py --runslow -q
