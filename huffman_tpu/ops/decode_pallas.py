@@ -808,8 +808,8 @@ def decode_bitserial_pallas(
     fuse_r2: bool = True,
     fuse_r3: bool = True,
     val_rounds: bool = False,
-    stage_ln: bool = False,
-    fuse_r4: bool = False,
+    stage_ln: bool = True,
+    fuse_r4: bool = True,
     step_words=None,
 ):
     """Fused TPU decode.
@@ -868,11 +868,14 @@ def decode_bitserial_pallas(
         assert not val_rounds, (
             "val_rounds is a static-round-schedule variant"
         )
-        if fuse_r1 or stage_ln or fuse_r4:
+        if fuse_r1:
             raise ValueError(
-                "fuse_r1/stage_ln/fuse_r4 do not compose with legacy_pack/dyn_rounds"
+                "fuse_r1 does not compose with legacy_pack/dyn_rounds"
             )
-        fuse_r2 = fuse_r3 = fuse_s3 = False
+        # stage_ln/fuse_r4 joined the production defaults (round-4c A/B:
+        # +5.74% together) — auto-clear them like the other fused
+        # defaults so legacy/dyn reference variants stay requestable.
+        fuse_r2 = fuse_r3 = fuse_s3 = stage_ln = fuse_r4 = False
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
         syms_identity, dev_slots, out_u8, dyn_rounds, legacy_pack,
