@@ -1,14 +1,13 @@
 #!/bin/bash
-# Round-4c on-chip measurement battery (serial; ONE TPU job at a time):
-# re-measures after the fuse_r3+fuse_s3 default flip (34f2cd9) and the
-# fused batched histogram (af5eedb).  Each step is timeout-guarded and logged; a dead
+# Round-4d on-chip measurement battery (serial; ONE TPU job at a time):
+# confirms the stage_ln+fuse_r4 default flip and finishes the cut probes.  Each step is timeout-guarded and logged; a dead
 # tunnel aborts the rest (a hung XLA call would otherwise eat every
 # step's timeout).
 #
 # Usage: bash tools/run_battery.sh [logdir]
 set -u
 cd "$(dirname "$0")/.."
-LOG=${1:-benchmarks/r4c_battery_log}
+LOG=${1:-benchmarks/r4d_battery_log}
 mkdir -p "$LOG"
 
 probe() {
@@ -48,36 +47,22 @@ step() {  # step NAME TIMEOUT CMD...
   tail -3 "$LOG/$name.log" | sed 's/^/    /'
 }
 
-# Round-4c steps: post-r3s3-flip headline + the batched-hist fix.
-step prewarm    1800 env KERNEL_GEN=r4c-r3s3 python tools/prewarm_bench.py
+# Round-4d steps: confirm the stage_ln+fuse_r4 default flip (23f1293)
+# and finish the probes the r4c deadline cut.
+step prewarm    1800 env KERNEL_GEN=r4d-lnr4 python tools/prewarm_bench.py
 step bench      600  python bench.py
 
-# Flip confirmation on-session: turning the new fuse_r3+s3 defaults OFF
-# should lose ~3.5%.
-step ab_r3s3chk 1200 python tools/ab.py decode --b fuse_r3=0,fuse_s3=0 --size 16777216 --rounds 5
+# Flip confirmation: turning the new defaults OFF should lose ~5%.
+step ab_lnr4chk 1200 python tools/ab.py decode --b fuse_r4=0,stage_ln=0 --size 16777216 --rounds 5
 
-# stage_ln: scan stages (offset, ln); stage 3 drops its compare chain
-# (est +3-6% from the ab_spec 4%/term reading).  Flip if >=3%.
-step ab_lnpack  1200 python tools/ab.py decode --b stage_ln=1 --size 16777216 --rounds 5
+# Lane-count sweep at the headline size (never ran; r4c deadline cut it).
+step probe_k    1800 python tools/probe_k.py
 
-# fuse_r4: fourth compaction round into the scan (17 carried register
-# rows); composes with stage_ln.  Flip if >=3%.
-step ab_r4      1200 python tools/ab.py decode --b fuse_r4=1 --size 16777216 --rounds 5
-step ab_r4ln    1200 python tools/ab.py decode --b fuse_r4=1,stage_ln=1 --size 16777216 --rounds 5
-
-# Second headline reading pulled up ahead of the long probes (deadline).
-step bench2     600  python bench.py
-
-# Batched-hist fix: hist (old vmapped) vs hist_b (fused Pallas) stages,
-# plus the production full encode at each B.
-step batched    1800 python tools/probe_batched.py
-
-# Streaming/batched curves on the fixed _encode_batch.
+# Streaming/batched curves on the new decode defaults + fixed hist.
 step streaming  1800 python tools/bench_streaming.py
 
-# Lane-count sweep at the headline size (S in {256,128,64}; default
-# k=131072 was a round-1 clamp heuristic, never swept on chip).
-step probe_k    1800 python tools/probe_k.py
+# Second headline reading for the drift band.
+step bench2     600  python bench.py
 
 # Real-chip pytest smoke on the new defaults.
 step smoke       900 python -m pytest tests/test_chip_smoke.py --runslow -q
