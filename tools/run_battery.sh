@@ -55,6 +55,13 @@ step bench      600  python bench.py
 # Flip confirmation: turning the new defaults OFF should lose ~5%.
 step ab_lnr4chk 1200 python tools/ab.py decode --b fuse_r4=0,stage_ln=0 --size 16777216 --rounds 5
 
+# Re-reads on the shrunken-round base: only 4 VMEM rounds remain after
+# fuse_r4, so the value-buffered rounds (val_rounds, was +0.52% on the
+# r2 base) and the quartered u8 store (out_u8, was -1.4%) may price
+# differently now.
+step ab_val2    1200 python tools/ab.py decode --b val_rounds=1 --size 16777216 --rounds 5
+step ab_u8      1200 python tools/ab.py decode --b out_u8=1 --size 16777216 --rounds 5
+
 # Lane-count sweep at the headline size (never ran; r4c deadline cut it).
 step probe_k    1800 python tools/probe_k.py
 
