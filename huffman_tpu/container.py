@@ -110,7 +110,7 @@ def compress_blocks(raw: bytes, codec, block_size: int = DEFAULT_BLOCK) -> bytes
                 pending.append((pos, raw_len, comp))
             else:
                 records.append((KIND_HUFF, 0, b""))
-            while len(pending) > PIPELINE_DEPTH:
+            while len(pending) >= PIPELINE_DEPTH:
                 finish(*pending.pop(0))
         while pending:
             finish(*pending.pop(0))
@@ -214,7 +214,7 @@ def decompress_blocks(data: bytes, codec) -> bytes:
         for kind, kx, raw_len, rec in records:
             if kind == KIND_HUFF and raw_len:
                 live.append((dec(des(rec)), raw_len))
-                while len(live) > PIPELINE_DEPTH:
+                while len(live) >= PIPELINE_DEPTH:
                     flush_one()
             else:
                 while live:  # keep byte order across record kinds

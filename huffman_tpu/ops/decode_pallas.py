@@ -180,6 +180,15 @@ def _make_decode_kernel(
     # [0, out_len) — but the field must be wide enough that those high
     # bits don't corrupt the win field.
     db = max((T - 1).bit_length(), 1)
+    # The staged payload packs (value << db) | disp into int32: stage_ln
+    # stages (offset << 4) | ln (15 + 4 = 19 value bits), legacy stages a
+    # 16-bit window.  decode_kernel_fits' VMEM bound keeps T small enough
+    # today, but nothing else stops a future budget relaxation from
+    # pushing the field into the sign bit and corrupting compaction.
+    assert (19 if stage_ln else 16) + db <= 31, (
+        f"staged payload overflows int32: T={T} needs db={db} disp bits "
+        f"plus {19 if stage_ln else 16} value bits"
+    )
     # Scan terms: levels >= group only (group <= l_min, so every length
     # below `group` satisfies its canonical compare; fold those into the
     # initial count).  A run straddling `group` keeps only its levels

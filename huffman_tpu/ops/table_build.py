@@ -394,7 +394,9 @@ def _full_table_kernel(
     lax.fori_loop(0, _N, zero, 0)
 
     def assign(i, current):
-        l = ln_ref[0, jnp.minimum(i, n - 1)]
+        # max(…, 0) guards the all-zero-histogram case (n == 0), where
+        # min(i, n - 1) would index SMEM at -1.
+        l = ln_ref[0, jnp.maximum(jnp.minimum(i, n - 1), 0)]
         valid = i < n
 
         @pl.when(valid)

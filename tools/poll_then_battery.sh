@@ -26,5 +26,6 @@ while true; do
     echo "GAVE UP waiting for tunnel after ${MAX_WAIT_S}s" | tee -a "$LOG/status.txt"
     exit 3
   fi
-  sleep 240
+  # Up-windows have been as short as ~2 min; poll fast enough to catch them.
+  sleep 120
 done

@@ -50,10 +50,14 @@ step() {  # step NAME TIMEOUT CMD...
 # Round-4d steps: confirm the stage_ln+fuse_r4 default flip (23f1293)
 # and finish the probes the r4c deadline cut.
 step prewarm    1800 env KERNEL_GEN=r4d-lnr4 python tools/prewarm_bench.py
-step bench      600  python bench.py
 
-# Flip confirmation: turning the new defaults OFF should lose ~5%.
+# Flip confirmation FIRST: the tunnel has been dying within minutes of
+# coming up (four aborts on 08-19), and this is the one measurement that
+# gates the round-5 perf claims (VERDICT #1).  Turning the new defaults
+# OFF should lose ~5%; if it reads ~0%, REVERT 23f1293.
 step ab_lnr4chk 1200 python tools/ab.py decode --b fuse_r4=0,stage_ln=0 --size 16777216 --rounds 5
+
+step bench      600  python bench.py
 
 # Re-reads on the shrunken-round base: only 4 VMEM rounds remain after
 # fuse_r4, so the value-buffered rounds (val_rounds, was +0.52% on the
