@@ -27,18 +27,32 @@ pure-XLA kernels (ops/encode.py, ops/decode_bits.py) produce bit-identical
 results — the TPU analog of the reference's scalar/AVX shared format
 (README.md:91-94).
 
-Serialized layout (little-endian):
+Serialized layout (little-endian; flags live in the top byte of the
+len_mask word — bit 24 = wide legacy counts, bit 25 = compact format):
 
-    u32 magic 'HTP3' | u32 raw_size | u32 K | u32 len_mask
+    u32 magic 'HTP3' | u32 raw_size | u32 K | u32 len_mask|flags
     u8  count[popcount(len_mask)]   (256 wraps to 0, as ref profile)
     u8  syms[num_syms]
-    pad to 2B | u16 bit_counts[K]   (u32 when len_mask bit 24 is set —
+
+  compact (flag bit 25, the round-5 default — written by `serialize`):
+    u32 base | u8 width            (base = min lane bits)
+    bit-packed deltas[K] at `width` bits each, MSB-first, byte-padded
+    bit-packed payload: lane k's first bits_k stream bits, concatenated
+    lane-major with NO per-lane byte rounding, final byte zero-padded
+
+  legacy (flag bit 25 clear — all pre-round-5 blobs; still parsed):
+    pad to 2B | u16 bit_counts[K]   (u32 when flag bit 24 is set —
                                      worst-case lane bits >= 2^16)
     u8  payload[sum_k ceil(bits_k/8)]  (lane-major, byte-granular)
 
-The per-lane overhead is ~2.5 bytes (u16 count + partial final byte);
-the ``ref`` profile pays 4 (u32 end offset) per stream, the difference
-being that K here is thousands, so counts are kept tight.
+The legacy per-lane overhead was ~2.5 bytes (u16 count + ~3.5 wasted
+bits of final-byte rounding) — ~4.3% of a biased 16 MiB blob at
+K=131072.  The compact layout stores the same information in ~width/8
+bytes per lane (width ≈ 9–11 on real data, since lane bit counts
+cluster around the per-lane mean under the strided mapping) and zero
+rounding waste, reclaiming ~3% of the blob at unchanged kernel cost.
+The reference flags the identical waste in its own (K-1)*u32 offset
+framing ("TODO: Use varints", huffman.cpp:793, 1062, 1301).
 """
 
 from __future__ import annotations
@@ -72,6 +86,99 @@ from ..ops.lookup import histogram256, histogram256_batch
 from ..ops.table_build import build_coding_device
 
 MAGIC = 0x48545033  # 'HTP3'
+#: Header flag (top byte of the len_mask word): compact bit counts +
+#: bit-granular payload.  Bit 24 stays the legacy wide-counts flag.
+FLAG_COMPACT = 1 << 25
+
+
+def _pack_lane_bits(lane_bytes: np.ndarray, bits: np.ndarray) -> bytes:
+    """Concatenate lane k's first ``bits[k]`` bits (MSB-first within each
+    byte) into one bit-granular stream with no per-lane byte rounding.
+
+    Vectorized without an 8x ``unpackbits`` blow-up: mask each lane's
+    tail garbage, shift each lane's byte string right by its output bit
+    phase (``off_k % 8``) in one broadcast u16 op, then observe that the
+    bytes each lane exclusively owns (all but a lane's first byte when it
+    shares that byte with its predecessor) tile the output exactly in
+    row-major order — a single boolean select builds the stream, and the
+    <=K shared boundary bytes are OR-accumulated on top.
+    """
+    k, nb = lane_bytes.shape
+    bits = bits.astype(np.int64)
+    off = np.zeros(k, np.int64)
+    np.cumsum(bits[:-1], out=off[1:])
+    total = int(off[-1] + bits[-1]) if k else 0
+    if total == 0:
+        return b""
+    out_len = (total + 7) >> 3
+
+    # Zero every bit past bits_k: a nonzero tail would OR garbage into
+    # the next lane's leading bits through the shared boundary byte.
+    nbytes = (bits + 7) >> 3
+    rem = (bits & 7).astype(np.uint16)
+    j = np.arange(nb, dtype=np.int64)[None, :]
+    b = np.where(j < nbytes[:, None], lane_bytes, 0).astype(np.uint16)
+    tail_mask = ((0xFF00 >> rem) & 0xFF).astype(np.uint16)  # rem=0 -> 0xFF
+    lb = np.maximum(nbytes - 1, 0)
+    b[np.arange(k), lb] &= np.where(rem > 0, tail_mask, 0xFF)
+
+    s = (off & 7).astype(np.uint16)
+    start = off >> 3
+    zlen = np.where(bits > 0, (bits + s + 7) >> 3, 0)
+    # z[k, j] = byte j of lane k's segment shifted right by s_k:
+    # (prev << (8-s)) | (cur >> s), via a 16-bit window.
+    bp = np.zeros((k, nb + 2), np.uint16)
+    bp[:, 1 : nb + 1] = b
+    z = (((bp[:, :-1] << 8) | bp[:, 1:]) >> s[:, None]).astype(np.uint8)
+    jz = np.arange(nb + 1, dtype=np.int64)[None, :]
+    shared = (s > 0) & (bits > 0)  # first byte straddles the predecessor
+    keep = (jz >= shared[:, None]) & (jz < zlen[:, None])
+    out = z[keep]
+    if out.size != out_len:  # internal invariant, not an input error
+        raise AssertionError(f"packed {out.size} bytes, expected {out_len}")
+    np.bitwise_or.at(out, start[shared], z[shared, 0])
+    return out.tobytes()
+
+
+def _unpack_lane_bits(
+    stream: np.ndarray, bits: np.ndarray, nb_out: int
+) -> np.ndarray:
+    """Inverse of :func:`_pack_lane_bits`: split a bit-granular stream
+    back into per-lane byte strings of ``nb_out`` bytes (tail zeroed).
+
+    One fancy-index gather of each lane's touched stream bytes plus a
+    broadcast u16 left-shift by the lane's bit phase; no unpackbits.
+    """
+    k = bits.shape[0]
+    bits = bits.astype(np.int64)
+    off = np.zeros(k, np.int64)
+    np.cumsum(bits[:-1], out=off[1:])
+    s = (off & 7).astype(np.uint16)
+    start = off >> 3
+    nbytes = (bits + 7) >> 3
+    cols = int(nbytes.max(initial=0)) + 1
+    pad_len = int(start.max(initial=0)) + cols + 1
+    padded = np.zeros(pad_len, np.uint8)
+    padded[: stream.shape[0]] = stream[:pad_len]
+    idx = start[:, None] + np.arange(cols, dtype=np.int64)[None, :]
+    z = padded[idx].astype(np.uint16)
+    # lane byte i = ((z[i] << 8 | z[i+1]) >> (8 - s)) & 0xFF  (s=0 -> z[i])
+    grid = ((((z[:, :-1] << 8) | z[:, 1:]) >> (8 - s)[:, None]) & 0xFF).astype(
+        np.uint8
+    )
+    lane_bytes = np.zeros((k, nb_out), np.uint8)
+    j = np.arange(cols - 1, dtype=np.int64)[None, :]
+    valid = j < nbytes[:, None]
+    lane_bytes[:, : cols - 1] = np.where(valid, grid, 0)
+    # Zero the bits past bits_k in each lane's final byte (they belong to
+    # the next lane) so parsed words match compress-produced words.
+    rem = (bits & 7).astype(np.uint16)
+    tail_mask = ((0xFF00 >> rem) & 0xFF).astype(np.uint8)
+    lb = np.maximum(nbytes - 1, 0)
+    lane_bytes[np.arange(k), np.minimum(lb, nb_out - 1)] &= np.where(
+        (rem > 0) & (bits > 0), tail_mask, 0xFF
+    ).astype(np.uint8)
+    return lane_bytes
 
 
 @jax.jit
@@ -634,15 +741,16 @@ class TpuCodec:
 
     # ---------- serialization ----------
 
-    def serialize(self, comp: TpuCompressed) -> bytes:
+    def serialize(self, comp: TpuCompressed, *, compact: bool = True) -> bytes:
+        """Serialize; ``compact=False`` writes the pre-round-5 legacy
+        layout (kept for wire-compat tests and old-blob regeneration)."""
         cc = comp.coding
         k = comp.k
         bits = np.asarray(comp.bit_counts).astype(np.int64)
-        wide = bool(bits.max(initial=0) >= (1 << 16))
+        wide = (not compact) and bool(bits.max(initial=0) >= (1 << 16))
+        flags = (int(wide) << 24) | (FLAG_COMPACT if compact else 0)
         out = bytearray()
-        out += struct.pack(
-            "<IIII", MAGIC, comp.raw_size, k, cc.len_mask | (int(wide) << 24)
-        )
+        out += struct.pack("<IIII", MAGIC, comp.raw_size, k, cc.len_mask | flags)
         for ln in range(MAX_CODE_LEN + 1):
             c = int(cc.len_count[ln])
             if c:
@@ -652,18 +760,38 @@ class TpuCodec:
             # Degenerate coding: zero-length codes, zero payload bits —
             # the bit-count array and payload are implicit.
             return bytes(out)
-        while len(out) % 2:
-            out.append(0)
-        out += bits.astype("<u4" if wide else "<u2").tobytes()
 
-        # Byte-granular payload: lane k contributes its first
-        # ceil(bits_k/8) stream bytes (big-endian within each u32 word —
-        # the stream's forward MSB-first order).
         words = np.asarray(comp.words)  # (W, K) uint32
         w = words.shape[0]
         lane_bytes = (
             np.ascontiguousarray(words.T).astype(">u4").view(np.uint8).reshape(k, 4 * w)
         )
+        if compact:
+            # Bit counts as base + fixed-width bit-packed deltas: lane
+            # counts cluster around the per-lane mean (strided mapping),
+            # so width lands ~9-11 bits vs the legacy flat u16.
+            base = int(bits.min())  # k >= 1 always (validated on parse)
+            deltas = bits - base
+            width = int(deltas.max(initial=0)).bit_length()
+            out += struct.pack("<IB", base, width)
+            if width:
+                dbits = (
+                    (deltas[:, None] >> np.arange(width - 1, -1, -1)) & 1
+                ).astype(np.uint8)
+                out += np.packbits(dbits.reshape(-1)).tobytes()
+            # Bit-granular payload: lane k contributes exactly its first
+            # bits_k stream bits (MSB-first within each byte, matching
+            # the forward big-endian u32 stream order) — no per-lane
+            # byte rounding.
+            out += _pack_lane_bits(lane_bytes, bits)
+            return bytes(out)
+
+        while len(out) % 2:
+            out.append(0)
+        out += bits.astype("<u4" if wide else "<u2").tobytes()
+        # Byte-granular payload: lane k contributes its first
+        # ceil(bits_k/8) stream bytes (big-endian within each u32 word —
+        # the stream's forward MSB-first order).
         nbytes = (bits + 7) // 8
         mask = np.arange(4 * w, dtype=np.int64)[None, :] < nbytes[:, None]
         out += lane_bytes[mask].tobytes()
@@ -682,7 +810,11 @@ class TpuCodec:
         magic, raw_size, k, len_mask = struct.unpack_from("<IIII", buf, 0)
         if magic != MAGIC:
             raise ValueError("not a tpu-profile blob (bad magic)")
-        wide = bool(len_mask >> 24)
+        flags = len_mask >> 24
+        wide = bool(flags & 1)
+        compact = bool(flags & 2)
+        if flags >> 2:
+            raise ValueError(f"unknown header flags 0x{flags:02x}")
         len_mask &= (1 << 24) - 1
         if not (1 <= k <= 1 << 22):
             raise ValueError(f"implausible lane count {k}")
@@ -721,38 +853,68 @@ class TpuCodec:
         pos += num_syms
         if num_syms <= 1:
             bits = np.zeros(k, dtype=np.int64)
-            flat = np.frombuffer(b"", dtype=np.uint8)
+            lane_bytes = np.zeros((k, 4), dtype=np.uint8)
             return self._finish_deserialize(
-                raw_size, k, len_count, sorted_syms, num_syms, bits, flat
+                raw_size, k, len_count, sorted_syms, num_syms, bits, lane_bytes
             )
-        pos = (pos + 1) & ~1
-        cw = 4 if wide else 2
-        if pos + cw * k > len(buf):
-            raise ValueError("truncated bit counts")
-        bits = np.frombuffer(
-            buf[pos : pos + cw * k], dtype="<u4" if wide else "<u2"
-        ).astype(np.int64)
-        pos += cw * k
-        flat = np.frombuffer(buf[pos:], dtype=np.uint8)
+        if compact:
+            if pos + 5 > len(buf):
+                raise ValueError("truncated compact bit counts")
+            base, width = struct.unpack_from("<IB", buf, pos)
+            pos += 5
+            if width > 24:
+                raise ValueError(f"implausible bit-count delta width {width}")
+            if width:
+                nb = (k * width + 7) // 8
+                if pos + nb > len(buf):
+                    raise ValueError("truncated bit-count deltas")
+                d = np.unpackbits(
+                    np.frombuffer(buf[pos : pos + nb], dtype=np.uint8),
+                    count=k * width,
+                )
+                bits = base + (
+                    d.reshape(k, width).astype(np.int64)
+                    << np.arange(width - 1, -1, -1)
+                ).sum(axis=1)
+                pos += nb
+            else:
+                bits = np.full(k, base, dtype=np.int64)
+        else:
+            pos = (pos + 1) & ~1
+            cw = 4 if wide else 2
+            if pos + cw * k > len(buf):
+                raise ValueError("truncated bit counts")
+            bits = np.frombuffer(
+                buf[pos : pos + cw * k], dtype="<u4" if wide else "<u2"
+            ).astype(np.int64)
+            pos += cw * k
 
         s = -(-raw_size // k) if raw_size else 0
         if int(bits.max(initial=0)) > max(s, 1) * MAX_CODE_LEN:
             raise ValueError("per-lane bit count exceeds slice capacity")
-        nbytes = (bits + 7) // 8
-        if int(nbytes.sum()) > len(flat):
-            raise ValueError("payload shorter than bit counts imply")
+        wmax = max(int((bits.max(initial=0) + 31) // 32), 1)
+        if compact:
+            total = int(bits.sum())
+            if total > (len(buf) - pos) * 8:
+                raise ValueError("payload shorter than bit counts imply")
+            lane_bytes = _unpack_lane_bits(
+                np.frombuffer(buf[pos:], dtype=np.uint8), bits, 4 * wmax
+            )
+        else:
+            flat = np.frombuffer(buf[pos:], dtype=np.uint8)
+            nbytes = (bits + 7) // 8
+            if int(nbytes.sum()) > len(flat):
+                raise ValueError("payload shorter than bit counts imply")
+            lane_bytes = np.zeros((k, 4 * wmax), dtype=np.uint8)
+            mask = np.arange(4 * wmax, dtype=np.int64)[None, :] < nbytes[:, None]
+            lane_bytes[mask] = flat[: int(nbytes.sum())]
         return self._finish_deserialize(
-            raw_size, k, len_count, sorted_syms, num_syms, bits, flat
+            raw_size, k, len_count, sorted_syms, num_syms, bits, lane_bytes
         )
 
     def _finish_deserialize(
-        self, raw_size, k, len_count, sorted_syms, num_syms, bits, flat
+        self, raw_size, k, len_count, sorted_syms, num_syms, bits, lane_bytes
     ) -> TpuCompressed:
-        nbytes = (bits + 7) // 8
-        wmax = max(int((bits.max(initial=0) + 31) // 32), 1)
-        lane_bytes = np.zeros((k, 4 * wmax), dtype=np.uint8)
-        mask = np.arange(4 * wmax, dtype=np.int64)[None, :] < nbytes[:, None]
-        lane_bytes[mask] = flat[: int(nbytes.sum())]
         words = lane_bytes.view(">u4").astype(np.uint32).T.copy()
 
         t = decode_tables_bitserial(len_count, sorted_syms)

@@ -460,8 +460,8 @@ class ShardedCodec:
                 for _, c in batch
             )
             wordsb = np.zeros((nb_pad, w, self.k), np.uint32)
-            ebb = np.zeros((nb_pad, 14), np.int32)
-            grb = np.zeros((nb_pad, 13), np.int32)
+            ebb = np.zeros((nb_pad, MAX_CODE_LEN + 2), np.int32)
+            grb = np.zeros((nb_pad, MAX_CODE_LEN + 1), np.int32)
             syb = np.zeros((nb_pad, 256), np.int32)
             for j, (_, c) in enumerate(batch):
                 wv = np.asarray(c.words)[:w]

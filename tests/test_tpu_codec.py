@@ -1,5 +1,7 @@
 """TPU-profile codec: round-trip, serialization, and content parity."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -204,11 +206,12 @@ def test_sampled_hist_ratio_guard(which):
 
 
 def test_wide_bit_counts_roundtrip():
-    """Lanes whose bit counts exceed 2^16 must serialize through the
-    u32 bit-count layout (len_mask bit 24).  At the 15-bit code limit
-    the threshold is lower than the 12-bit era (~4369 vs 5461 bytes per
-    lane of worst-case codes), so pin it with an incompressible corpus
-    whose lanes exceed 65536 bits."""
+    """Lanes whose bit counts exceed 2^16 must round-trip through BOTH
+    layouts: the compact base+delta encoding (u32 base carries any
+    magnitude) and the legacy u32 bit-count layout (len_mask bit 24).
+    At the 15-bit code limit the threshold is lower than the 12-bit era
+    (~4369 vs 5461 bytes per lane of worst-case codes), so pin it with
+    an incompressible corpus whose lanes exceed 65536 bits."""
     rng = np.random.default_rng(11)
     raw = rng.integers(0, 256, 80_000, dtype=np.uint8).tobytes()
     c = TpuCodec(8)
@@ -219,6 +222,93 @@ def test_wide_bit_counts_roundtrip():
     blob = c.serialize(comp)
     assert c.decompress(blob) == raw
     assert c.serialize(c.deserialize(blob)) == blob
+    legacy = c.serialize(comp, compact=False)
+    assert struct.unpack_from("<I", legacy, 12)[0] >> 24 == 1  # wide flag
+    assert c.decompress(legacy) == raw
+
+
+def test_legacy_format_blob_decodes():
+    """Pre-round-5 blobs (flat u16 bit counts, byte-rounded lane payload,
+    flag byte 0) must keep decoding bit-exactly through the round-5
+    reader; `serialize(compact=False)` writes that exact layout."""
+    raw = biased_proba(n=100_000)
+    c = TpuCodec(64)
+    comp = c.deserialize(c.compress(raw))
+    legacy = c.serialize(comp, compact=False)
+    assert struct.unpack_from("<I", legacy, 12)[0] >> 24 == 0  # no flags
+    assert c.decompress(legacy) == raw
+    # Reader canonicalizes: re-serializing the parsed legacy blob yields
+    # the (smaller) compact form, identical to the original compact blob.
+    assert c.serialize(c.deserialize(legacy)) == c.serialize(comp)
+
+
+def test_compact_format_shrinks_header():
+    """The compact layout must beat legacy: it replaces u16-per-lane
+    counts with ~width/8 bytes and drops per-lane byte rounding — on a
+    biased corpus the saving is ~2 bytes/lane."""
+    raw = biased_proba(n=1 << 20)
+    c = TpuCodec(8192)
+    comp = c.deserialize(c.compress(raw))
+    compact = c.serialize(comp)
+    legacy = c.serialize(comp, compact=False)
+    assert len(compact) < len(legacy) - 8192  # > 1 byte/lane reclaimed
+
+
+def test_compact_malformed_rejected():
+    """Structural validation of the compact fields: implausible delta
+    width, truncated delta array, and payload shorter than the bit
+    counts imply all raise ValueError (never crash downstream)."""
+    raw = biased_proba(n=50_000)
+    c = TpuCodec(256)
+    blob = bytearray(c.compress(raw))
+    # Locate the compact region: header 16 + len counts + syms.
+    len_mask = struct.unpack_from("<I", blob, 12)[0] & 0xFFFFFF
+    comp = c.deserialize(bytes(blob))
+    pos = 16 + bin(len_mask).count("1") + comp.coding.num_syms
+    bad = bytearray(blob)
+    bad[pos + 4] = 25  # width > 24
+    with pytest.raises(ValueError):
+        c.deserialize(bytes(bad))
+    with pytest.raises(ValueError):
+        c.deserialize(bytes(blob[: pos + 5 + 10]))  # truncated deltas
+    with pytest.raises(ValueError):
+        c.deserialize(bytes(blob[:-50]))  # truncated payload
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pack_lane_bits_matches_naive(seed):
+    """The vectorized shift-based bit repack (serialize fast path) must
+    match a naive python bit-string concatenation for ragged lane sizes,
+    including zero-bit lanes, sub-byte lanes, and every start phase; and
+    _unpack_lane_bits must invert it exactly (tails zeroed)."""
+    from huffman_tpu.models.tpu_codec import _pack_lane_bits, _unpack_lane_bits
+
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(1, 40))
+    nb = 4 * int(rng.integers(1, 5))  # whole u32 words per lane
+    # Adversarial bit counts: mostly tiny so lanes pile into shared bytes.
+    bits = rng.integers(0, 8 * nb + 1, k).astype(np.int64)
+    bits[rng.random(k) < 0.3] = 0
+    bits[rng.random(k) < 0.3] = rng.integers(0, 9)
+    lane_bytes = rng.integers(0, 256, (k, nb), dtype=np.uint8)
+
+    packed = _pack_lane_bits(lane_bytes, bits)
+    naive = "".join(
+        "".join(np.binary_repr(b, 8) for b in lane_bytes[i])[: int(bits[i])]
+        for i in range(k)
+    )
+    naive_bytes = bytes(
+        int(naive[i : i + 8].ljust(8, "0"), 2) for i in range(0, len(naive), 8)
+    )
+    assert packed == naive_bytes
+
+    back = _unpack_lane_bits(np.frombuffer(packed, np.uint8), bits, nb)
+    masked = np.zeros_like(lane_bytes)
+    for i in range(k):
+        s = "".join(np.binary_repr(b, 8) for b in lane_bytes[i])[: int(bits[i])]
+        s = s.ljust(8 * nb, "0")
+        masked[i] = [int(s[j : j + 8], 2) for j in range(0, 8 * nb, 8)]
+    np.testing.assert_array_equal(back, masked)
 
 
 def test_encode_scan_fallback_matches_parallel():
