@@ -78,4 +78,32 @@ step bench2     600  python bench.py
 # Real-chip pytest smoke on the new defaults.
 step smoke       900 python -m pytest tests/test_chip_smoke.py --runslow -q
 
+# ---- Round-5 steps (VERDICT r4 #4/#5/#6/#8): republish every stale ----
+# ---- table on the shipping defaults + compact-header blobs.        ----
+
+# 4 MiB workload suite (RESULTS.md rows predate the sym_gather and
+# stage_ln/fuse_r4 flips; biased/sorted decompress expect +10-20%).
+step suite      2400 python tools/run_benchmarks.py --size 4194304 --out benchmarks/results_r5.json
+
+# Small-block tables with the compact header (per-lane overhead at
+# k=1024 was ~2%; record the new ratio crossover vs the ref profile).
+step small      1800 python tools/bench_small.py
+
+# Encode-side stage split for the encode roofline (VERDICT #5).
+step enc_stages 1200 python tools/probe_encode_stages.py
+
+# Decode stage split + kernel timings for the re-derived roofline on
+# the 15-bit stage_ln+fuse_r4 kernel (VERDICT r4 weak #3).
+step dec_stages 1200 python tools/perf_probe.py 1 8192
+
+# Batched-block encode/decode curves on the shipping defaults.
+step batched    1800 python tools/probe_batched.py
+
+# On-chip sharded row refresh for SCALING.md (VERDICT #6; last measured
+# round 2, two kernel-default generations ago).
+step sharded    1800 python tools/bench_sharded.py
+
+# Third headline reading (drift band) now that the suite ran.
+step bench3      600 python bench.py
+
 echo "BATTERY COMPLETE $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
