@@ -302,7 +302,53 @@ def _make_decode_kernel(
                     )
                 return parts
 
-            if scan == "bit" or group == 1:
+            if scan == "pair":
+                # Two-boundary steps (the TPU analog of the reference's
+                # Decoder2x roadmap item, huffman.cpp:611 and 634-704):
+                # wd = 2*group bits per step.  Codes are >= group bits
+                # (group <= l_min), so a wd-bit window holds at most TWO
+                # code starts: the countdown's boundary at offset c
+                # (when c < wd) and the following code's at c + ln1
+                # (when that still lands inside the window).  Each
+                # serial step resolves both.  Compare-chain count per
+                # bit matches the grouped scan (one chain per group
+                # bits) and the per-word SERIAL chain count does too
+                # (the second chain waits on ln1), but the step count —
+                # and with it the window/select/countdown/staging
+                # overhead — is HALVED vs the grouped scan.
+                wd = 2 * group
+                for sp in range(32 // wd):
+                    j0 = sp * wd
+                    F = full_at(j0)
+                    # Boundary 1 at bit j0 + c: top MAX bits of F << c.
+                    # c <= 14 always (countdown of a <= 15-bit code), so
+                    # the shift is in range; when c >= wd the windows
+                    # are unused garbage (b1 false).
+                    win1 = ((F << c.astype(jnp.uint32)) >> (32 - MAX_CODE_LEN)).astype(_I32)
+                    ln1 = tree_sum(ln_parts(win1))
+                    b1 = c < wd
+                    p2 = c + ln1
+                    b2 = b1 & (p2 < wd)
+                    win2 = (
+                        (F << p2.astype(jnp.uint32)) >> (32 - MAX_CODE_LEN)
+                    ).astype(_I32)
+                    ln2 = tree_sum(ln_parts(win2))
+                    hi1 = c >= group  # entry 1 lands in the high slot
+                    e1 = pack_ent(win1, ln1, c2, sp * 2 + hi1.astype(_I32))
+                    # Entry 2 always lands in the high slot: group <=
+                    # ln1 <= p2 < wd.  When entry 1 is already there
+                    # (c >= group), p2 >= 2*group = wd forces b2 false —
+                    # no collision.
+                    e2 = pack_ent(win2, ln2, c2 + 1, sp * 2 + 1)
+                    svals[sp * 2] = jnp.where(b1 & ~hi1, e1, svals[sp * 2])
+                    svals[sp * 2 + 1] = jnp.where(
+                        b1 & hi1, e1, jnp.where(b2, e2, svals[sp * 2 + 1])
+                    )
+                    # Countdown past this step's wd bits, crossing one
+                    # boundary (-> c + ln1) or two (-> p2 + ln2).
+                    c = jnp.where(b2, p2 + ln2, jnp.where(b1, p2, c)) - wd
+                    c2 = c2 + b1.astype(_I32) + b2.astype(_I32)
+            elif scan == "bit" or group == 1:
                 # Per-bit scan: window + compare chain at EVERY bit.  More
                 # total ops than the group scan, but every bit's chain is
                 # independent of the countdown — only the 3-op c update is
@@ -885,6 +931,8 @@ def decode_bitserial_pallas(
         # +5.74% together) — auto-clear them like the other fused
         # defaults so legacy/dyn reference variants stay requestable.
         fuse_r2 = fuse_r3 = fuse_s3 = stage_ln = fuse_r4 = False
+    if scan == "pair" and 32 % (2 * group) != 0:
+        raise ValueError(f"scan='pair' needs 2*group | 32, got group={group}")
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
         syms_identity, dev_slots, out_u8, dyn_rounds, legacy_pack,

@@ -395,10 +395,14 @@ def test_decode_kernel_legacy_pack_matches(style):
         {"fuse_r4": True},
         {"fuse_r4": True, "stage_ln": True},
         {"fuse_r4": True, "fuse_s3": False},
+        {"scan": "pair"},
+        {"scan": "pair", "fuse_r2": False, "fuse_r3": False, "fuse_r4": False,
+         "fuse_s3": False},
+        {"scan": "pair", "val_rounds": True},
     ],
     ids=["r1", "s3", "r1+s3", "r2", "r2+s3", "val", "r2+val", "r3", "r3+s3",
          "lnpack", "lnpack-nofuse", "lnpack+val", "gscan", "gscan+lnpack",
-         "r4", "r4+lnpack", "r4-nos3"],
+         "r4", "r4+lnpack", "r4-nos3", "pair", "pair-nofuse", "pair+val"],
 )
 def test_decode_kernel_fused_round_variants(style, flags):
     """fuse_r1 (round 1 merged into the scan's slot stores) and fuse_s3

@@ -78,8 +78,27 @@ step bench2     600  python bench.py
 # Real-chip pytest smoke on the new defaults.
 step smoke       900 python -m pytest tests/test_chip_smoke.py --runslow -q
 
-# ---- Round-5 steps (VERDICT r4 #4/#5/#6/#8): republish every stale ----
-# ---- table on the shipping defaults + compact-header blobs.        ----
+# ---- Round-5 steps (VERDICT r4 #3/#4/#5/#6/#8): new-scan A/Bs first, ----
+# ---- then republish every stale table on the shipping defaults.      ----
+
+# VERDICT #3: the two-boundaries-per-step scan (Decoder2x analog,
+# scan=pair) vs the production per-bit scan, and the grouped tree scan
+# re-raced on the 15-bit stage_ln base (the migration lengthened the
+# compare chain ~27%, shifting the economics toward grouping).  Flip at
+# >= 3%; either way RESULTS.md gets the measured record + op arithmetic.
+step ab_pair    1200 python tools/ab.py decode --b scan=pair --size 16777216 --rounds 5
+step ab_gt      1200 python tools/ab.py decode --b scan=group_tree --size 16777216 --rounds 5
+
+# Headline on the shipping defaults + compact-header blob (first bench
+# since ffbed3b landed; official ratio record).
+step bench3      600 python bench.py
+
+# Decode stage split + kernel timings for the re-derived roofline on
+# the 15-bit stage_ln+fuse_r4 kernel (VERDICT r4 weak #3).
+step dec_stages 1200 python tools/perf_probe.py 1 8192
+
+# Encode-side stage split for the encode roofline (VERDICT #5).
+step enc_stages 1200 python tools/probe_encode_stages.py
 
 # 4 MiB workload suite (RESULTS.md rows predate the sym_gather and
 # stage_ln/fuse_r4 flips; biased/sorted decompress expect +10-20%).
@@ -89,13 +108,6 @@ step suite      2400 python tools/run_benchmarks.py --size 4194304 --out benchma
 # k=1024 was ~2%; record the new ratio crossover vs the ref profile).
 step small      1800 python tools/bench_small.py
 
-# Encode-side stage split for the encode roofline (VERDICT #5).
-step enc_stages 1200 python tools/probe_encode_stages.py
-
-# Decode stage split + kernel timings for the re-derived roofline on
-# the 15-bit stage_ln+fuse_r4 kernel (VERDICT r4 weak #3).
-step dec_stages 1200 python tools/perf_probe.py 1 8192
-
 # Batched-block encode/decode curves on the shipping defaults.
 step batched    1800 python tools/probe_batched.py
 
@@ -103,7 +115,11 @@ step batched    1800 python tools/probe_batched.py
 # round 2, two kernel-default generations ago).
 step sharded    1800 python tools/bench_sharded.py
 
-# Third headline reading (drift band) now that the suite ran.
-step bench3      600 python bench.py
+# Lane-sweep extension (probe_k found k=262144 +4.8% combined): price
+# 524288 and re-read 262144 in one session before any default flip.
+step probe_k2   1800 python tools/probe_k.py --ks 131072,262144,524288
+
+# Final headline reading (drift band).
+step bench4      600 python bench.py
 
 echo "BATTERY COMPLETE $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
