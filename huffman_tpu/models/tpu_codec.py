@@ -40,6 +40,16 @@ len_mask word — bit 24 = wide legacy counts, bit 25 = compact format):
     bit-packed payload: lane k's first bits_k stream bits, concatenated
     lane-major with NO per-lane byte rounding, final byte zero-padded
 
+  huff counts (flag bits 25+26 — written when it wins the size race):
+    u32 base | u8 width | u32 clen
+    ref-profile blob[clen]: the K delta bytes min(delta, 255),
+      compressed by the codec's OWN ref-profile path (native C++ with
+      the golden NumPy fallback — bit-identical blobs by invariant), 8
+      streams.  The reference's own varint TODO (huffman.cpp:793) taken
+      one step further: the header is entropy-coded by the codec itself.
+    bit-packed escapes: one `width`-bit raw delta per decoded 255 byte
+    bit-packed payload (as compact)
+
   legacy (flag bit 25 clear — all pre-round-5 blobs; still parsed):
     pad to 2B | u16 bit_counts[K]   (u32 when flag bit 24 is set —
                                      worst-case lane bits >= 2^16)
@@ -89,6 +99,13 @@ MAGIC = 0x48545033  # 'HTP3'
 #: Header flag (top byte of the len_mask word): compact bit counts +
 #: bit-granular payload.  Bit 24 stays the legacy wide-counts flag.
 FLAG_COMPACT = 1 << 25
+#: With FLAG_COMPACT: the count deltas ride as a ref-profile blob
+#: (entropy-coded by the codec's own host path) + raw escapes.
+FLAG_HUFF_COUNTS = 1 << 26
+#: Stream count for the embedded counts blob: small enough that its
+#: (k-1) u32 end offsets stay negligible, large enough for the native
+#: runtime to thread the decode.
+_HUFF_COUNTS_STREAMS = 8
 
 
 def _pack_lane_bits(lane_bytes: np.ndarray, bits: np.ndarray) -> bytes:
@@ -741,9 +758,13 @@ class TpuCodec:
 
     # ---------- serialization ----------
 
-    def serialize(self, comp: TpuCompressed, *, compact: bool = True) -> bytes:
+    def serialize(
+        self, comp: TpuCompressed, *, compact: bool = True, counts: str = "auto"
+    ) -> bytes:
         """Serialize; ``compact=False`` writes the pre-round-5 legacy
-        layout (kept for wire-compat tests and old-blob regeneration)."""
+        layout (kept for wire-compat tests and old-blob regeneration).
+        ``counts`` pins the compact count encoding for tests: "auto"
+        (size race, the default), "flat", or "huff"."""
         cc = comp.coding
         k = comp.k
         bits = np.asarray(comp.bit_counts).astype(np.int64)
@@ -773,12 +794,41 @@ class TpuCodec:
             base = int(bits.min())  # k >= 1 always (validated on parse)
             deltas = bits - base
             width = int(deltas.max(initial=0)).bit_length()
-            out += struct.pack("<IB", base, width)
-            if width:
-                dbits = (
-                    (deltas[:, None] >> np.arange(width - 1, -1, -1)) & 1
+            flat_cost = 5 + (k * width + 7) // 8
+            # Entropy-coded alternative (flag bit 26): the delta bytes
+            # min(delta, 255) as a ref-profile blob via the codec's own
+            # host path, plus width-bit raw escapes.  Deltas carry ~6
+            # bits of entropy against a 9-11 bit packing width on real
+            # data; the smaller representation wins the race (small k
+            # loses to the blob's ~0.3 KiB table+offset overhead and
+            # stays flat).
+            d8 = np.minimum(deltas, 255).astype(np.uint8)
+            esc = deltas[deltas >= 255]
+            from .. import native as _native
+
+            cblob = _native.compress(d8.tobytes(), _HUFF_COUNTS_STREAMS)
+            esc_bytes = b""
+            if len(esc) and width:
+                ebits = (
+                    (esc[:, None] >> np.arange(width - 1, -1, -1)) & 1
                 ).astype(np.uint8)
-                out += np.packbits(dbits.reshape(-1)).tobytes()
+                esc_bytes = np.packbits(ebits.reshape(-1)).tobytes()
+            huff_cost = 9 + len(cblob) + len(esc_bytes)
+            if counts == "huff" or (counts == "auto" and huff_cost < flat_cost):
+                # Rewrite the flags word in place: huff counts selected.
+                struct.pack_into(
+                    "<I", out, 12, cc.len_mask | flags | FLAG_HUFF_COUNTS
+                )
+                out += struct.pack("<IBI", base, width, len(cblob))
+                out += cblob
+                out += esc_bytes
+            else:
+                out += struct.pack("<IB", base, width)
+                if width:
+                    dbits = (
+                        (deltas[:, None] >> np.arange(width - 1, -1, -1)) & 1
+                    ).astype(np.uint8)
+                    out += np.packbits(dbits.reshape(-1)).tobytes()
             # Bit-granular payload: lane k contributes exactly its first
             # bits_k stream bits (MSB-first within each byte, matching
             # the forward big-endian u32 stream order) — no per-lane
@@ -813,8 +863,11 @@ class TpuCodec:
         flags = len_mask >> 24
         wide = bool(flags & 1)
         compact = bool(flags & 2)
-        if flags >> 2:
+        huff_counts = bool(flags & 4)
+        if flags >> 3:
             raise ValueError(f"unknown header flags 0x{flags:02x}")
+        if huff_counts and not compact:
+            raise ValueError("huff-counts flag requires the compact layout")
         len_mask &= (1 << 24) - 1
         if not (1 <= k <= 1 << 22):
             raise ValueError(f"implausible lane count {k}")
@@ -857,7 +910,47 @@ class TpuCodec:
             return self._finish_deserialize(
                 raw_size, k, len_count, sorted_syms, num_syms, bits, lane_bytes
             )
-        if compact:
+        if compact and huff_counts:
+            if pos + 9 > len(buf):
+                raise ValueError("truncated huff-count header")
+            base, width, clen = struct.unpack_from("<IBI", buf, pos)
+            pos += 9
+            if width > 24:
+                raise ValueError(f"implausible bit-count delta width {width}")
+            if clen > len(buf) - pos:
+                raise ValueError("truncated huff-count blob")
+            from .. import native as _native
+
+            d8 = np.frombuffer(
+                _native.decompress(
+                    bytes(buf[pos : pos + clen]), _HUFF_COUNTS_STREAMS
+                ),
+                dtype=np.uint8,
+            )
+            pos += clen
+            if len(d8) != k:
+                raise ValueError(
+                    f"huff-count blob decodes to {len(d8)} deltas, expected {k}"
+                )
+            deltas = d8.astype(np.int64)
+            n_esc = int((d8 == 255).sum())
+            if n_esc:
+                if width < 8:
+                    raise ValueError("escaped deltas need width >= 8")
+                nb = (n_esc * width + 7) // 8
+                if pos + nb > len(buf):
+                    raise ValueError("truncated escape deltas")
+                e = np.unpackbits(
+                    np.frombuffer(buf[pos : pos + nb], dtype=np.uint8),
+                    count=n_esc * width,
+                )
+                deltas[d8 == 255] = (
+                    e.reshape(n_esc, width).astype(np.int64)
+                    << np.arange(width - 1, -1, -1)
+                ).sum(axis=1)
+                pos += nb
+            bits = base + deltas
+        elif compact:
             if pos + 5 > len(buf):
                 raise ValueError("truncated compact bit counts")
             base, width = struct.unpack_from("<IB", buf, pos)
