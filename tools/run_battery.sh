@@ -94,7 +94,13 @@ step ab_gt      1200 python tools/ab.py decode --b scan=group_tree --size 167772
 step bench3      600 python bench.py
 
 # Decode stage split + kernel timings for the re-derived roofline on
-# the 15-bit stage_ln+fuse_r4 kernel (VERDICT r4 weak #3).
+# the 15-bit stage_ln+fuse_r4 kernel (VERDICT r4 weak #3): cumulative
+# stage timings on the PRODUCTION Pallas kernel at the headline size
+# (debug_stages=1 scan-only, =2 +compaction; perf-only, not bit-exact;
+# note the truncated-kernel scheduling caveat in CLAUDE.md), plus the
+# XLA kernel-level rows.
+step dec_s1     1200 python tools/ab.py decode --b debug_stages=1 --skip-exact --size 16777216 --rounds 3
+step dec_s2     1200 python tools/ab.py decode --b debug_stages=2 --skip-exact --size 16777216 --rounds 3
 step dec_stages 1200 python tools/perf_probe.py 1 8192
 
 # Encode-side stage split for the encode roofline (VERDICT #5).
