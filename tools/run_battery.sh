@@ -106,6 +106,12 @@ step dec_stages 1200 python tools/perf_probe.py 1 8192
 # Encode-side stage split for the encode roofline (VERDICT #5).
 step enc_stages 1200 python tools/probe_encode_stages.py
 
+# Histogram stride 8 -> 16/32: CPU ratio check shows the clamped build
+# makes deeper sampling free (2.19165 -> 2.19164/2.19162) — if the hist
+# stage still costs encode time at stride 8, these are pure wins.
+step ab_h16     1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=16 --size 16777216 --rounds 5
+step ab_h32     1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=32 --size 16777216 --rounds 5
+
 # 4 MiB workload suite (RESULTS.md rows predate the sym_gather and
 # stage_ln/fuse_r4 flips; biased/sorted decompress expect +10-20%).
 step suite      2400 python tools/run_benchmarks.py --size 4194304 --out benchmarks/results_r5.json
