@@ -72,11 +72,17 @@ def main() -> int:
         "ab_lnpack": "stage_ln=1",
         "ab_r4": "fuse_r4=1",
         "ab_r4ln": "fuse_r4=1,stage_ln=1",
+        # Round-5 scan-structure variants (stage_ln/fuse_r4 are the
+        # production defaults on the A side since 23f1293).
+        "ab_pair": "scan=pair (2 boundaries/step)",
+        "ab_gt": "scan=group_tree re-race",
     }
     encode_combos = {
         "ab_place": "place_v2=1",
         "ab_mxu": "mxu_prefix=1",
         "ab_fused": "fused_tab=1",
+        "ab_h16": "hist_stride 8->16",
+        "ab_h32": "hist_stride 8->32",
     }
 
     print(f"battery summary: {logdir}")
@@ -104,6 +110,7 @@ def main() -> int:
         ("ab_r2chk", "fuse_r2 OFF"),
         ("ab_identchk", "identity rank->symbol ON"),
         ("ab_r3s3chk", "fuse_r3+s3 OFF"),
+        ("ab_lnr4chk", "stage_ln+fuse_r4 OFF"),
     ):
         g = last_json(logdir / f"{guard}.log")
         if g and "b_speedup_pct" in g:
