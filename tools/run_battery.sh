@@ -75,9 +75,6 @@ step streaming  1800 python tools/bench_streaming.py
 # Second headline reading for the drift band.
 step bench2     600  python bench.py
 
-# Real-chip pytest smoke on the new defaults.
-step smoke       900 python -m pytest tests/test_chip_smoke.py --runslow -q
-
 # ---- Round-5 steps (VERDICT r4 #3/#4/#5/#6/#8): new-scan A/Bs first, ----
 # ---- then republish every stale table on the shipping defaults.      ----
 
@@ -138,5 +135,9 @@ step probe_k2   1800 python tools/probe_k.py --ks 131072,262144,524288
 
 # Final headline reading (drift band).
 step bench4      600 python bench.py
+
+# Real-chip pytest smoke on the new defaults (moved last: 15 min of
+# tunnel time that must not block the A/B measurements in short windows).
+step smoke       900 python -m pytest tests/test_chip_smoke.py --runslow -q
 
 echo "BATTERY COMPLETE $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
