@@ -132,6 +132,51 @@ def test_decode_kernel_group_variants(group):
         )
     got = np.asarray(out_p).reshape(s, k).astype(np.uint8).T.reshape(-1)
     np.testing.assert_array_equal(got, data)
+    # The two-boundary pair scan at every group width it supports
+    # (2*group must divide 32), against the same expected bytes.
+    if 32 % (2 * group) == 0:
+        with pltpu.force_tpu_interpret_mode():
+            out_pair = decode_bitserial_pallas(
+                words.reshape(w, k // 128, 128), eb, gr, sy, group=group,
+                out_len=s, scan="pair",
+            )
+        np.testing.assert_array_equal(np.asarray(out_pair), np.asarray(out_p))
+
+
+@pytest.mark.slow
+def test_decode_kernel_pair_scan_one_bit_codes():
+    """scan='pair' with group=1 must handle TWO one-bit codes in a single
+    2-bit step (c=0, ln1=1, p2=1 — both slots of the step fill)."""
+    k, s = 1024, 32
+    rng = np.random.default_rng(3)
+    # ~93% one symbol -> a 1-bit code (l_min=1), the rest spread thin.
+    data = np.where(
+        rng.random(k * s) < 0.93, 7, rng.integers(0, 256, k * s)
+    ).astype(np.uint8)
+    data, cc, enc_table, t, b2 = _setup_from(data, k=k, s=s)
+    assert t["l_min"] == 1, "corpus must produce a 1-bit code"
+    valid = jnp.ones((s, k), bool)
+    w16, wc, bits = encode_lanes(b2, valid, enc_table)
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
+
+    w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
+    w16p = jnp.concatenate(
+        [w16, jnp.zeros((2 * w32c - w16.shape[0], k), w16.dtype)]
+    )
+    words32 = pack_u16_words_to_u32(w16p, jnp.minimum(wc, 2 * w32c))
+    w = int((np.asarray(bits).max() + 31) // 32)
+    words = jnp.asarray(np.asarray(words32[:w])).reshape(w, k // 128, 128)
+    eb, gr, sy = (
+        jnp.asarray(t["e_bound"]),
+        jnp.asarray(t["g_rank"]),
+        jnp.asarray(t["syms"]),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out_pair = decode_bitserial_pallas(
+            words, eb, gr, sy, group=1, out_len=s, scan="pair"
+        )
+    got = np.asarray(out_pair).reshape(s, k).astype(np.uint8).T.reshape(-1)
+    np.testing.assert_array_equal(got, data)
 
 
 @pytest.mark.slow
