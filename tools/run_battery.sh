@@ -90,6 +90,16 @@ step ab_gt      1200 python tools/ab.py decode --b scan=group_tree --size 167772
 # since ffbed3b landed; official ratio record).
 step bench3      600 python bench.py
 
+# Lane-sweep extension (probe_k found k=262144 +4.8% combined): price
+# 524288 and re-read 262144 in one session before any default flip.
+step probe_k2   1800 python tools/probe_k.py --ks 131072,262144,524288
+
+# Histogram stride 8 -> 16/32: CPU ratio check shows the clamped build
+# makes deeper sampling free (2.19165 -> 2.19164/2.19162) — if the hist
+# stage still costs encode time at stride 8, these are pure wins.
+step ab_h16     1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=16 --size 16777216 --rounds 5
+step ab_h32     1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=32 --size 16777216 --rounds 5
+
 # Decode stage split + kernel timings for the re-derived roofline on
 # the 15-bit stage_ln+fuse_r4 kernel (VERDICT r4 weak #3): cumulative
 # stage timings on the PRODUCTION Pallas kernel at the headline size
@@ -103,11 +113,6 @@ step dec_stages 1200 python tools/perf_probe.py 1 8192
 # Encode-side stage split for the encode roofline (VERDICT #5).
 step enc_stages 1200 python tools/probe_encode_stages.py
 
-# Histogram stride 8 -> 16/32: CPU ratio check shows the clamped build
-# makes deeper sampling free (2.19165 -> 2.19164/2.19162) — if the hist
-# stage still costs encode time at stride 8, these are pure wins.
-step ab_h16     1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=16 --size 16777216 --rounds 5
-step ab_h32     1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=32 --size 16777216 --rounds 5
 
 # 4 MiB workload suite (RESULTS.md rows predate the sym_gather and
 # stage_ln/fuse_r4 flips; biased/sorted decompress expect +10-20%).
@@ -129,9 +134,6 @@ step sharded    1800 python tools/bench_sharded.py
 # the blob ratio reflects the huff-counts header.
 step streaming2 1800 python tools/bench_streaming.py
 
-# Lane-sweep extension (probe_k found k=262144 +4.8% combined): price
-# 524288 and re-read 262144 in one session before any default flip.
-step probe_k2   1800 python tools/probe_k.py --ks 131072,262144,524288
 
 # Final headline reading (drift band).
 step bench4      600 python bench.py
