@@ -82,7 +82,7 @@ def decode_kernel_blk(w: int, group: int, out_len: int, kr: int) -> int:
 
 
 #: Dense compare-chain spec: one (level, multiplicity=1) term per code
-#: length 1..11.
+#: length 1..MAX_CODE_LEN-1.
 DENSE_SPEC = tuple((l, 1) for l in range(1, MAX_CODE_LEN))
 
 
@@ -93,8 +93,8 @@ def chain_spec(len_count) -> tuple:
     has length l, so a run of absent lengths contributes ONE compare with
     an integer multiplicity instead of `run` compares — the TPU analog of
     the reference specializing work to the actual code-length set.
-    Returns a tuple of (level, multiplicity) runs covering levels 1..11;
-    equals DENSE_SPEC when every length is present.  Output bits are
+    Returns a tuple of (level, multiplicity) runs covering levels
+    1..MAX_CODE_LEN-1; equals DENSE_SPEC when every length is present.  Output bits are
     IDENTICAL for any valid spec (equal indicators merely sum).
     """
     import numpy as np
