@@ -832,8 +832,13 @@ class TpuCodec:
             # Bit-granular payload: lane k contributes exactly its first
             # bits_k stream bits (MSB-first within each byte, matching
             # the forward big-endian u32 stream order) — no per-lane
-            # byte rounding.
-            out += _pack_lane_bits(lane_bytes, bits)
+            # byte rounding.  The native C single-pass packer is ~10x
+            # the vectorized NumPy reference (which stays canonical and
+            # is the fallback).
+            from .. import native as _nat
+
+            packed = _nat.pack_lane_bits(lane_bytes, bits)
+            out += packed if packed is not None else _pack_lane_bits(lane_bytes, bits)
             return bytes(out)
 
         while len(out) % 2:
@@ -990,9 +995,12 @@ class TpuCodec:
             total = int(bits.sum())
             if total > (len(buf) - pos) * 8:
                 raise ValueError("payload shorter than bit counts imply")
-            lane_bytes = _unpack_lane_bits(
-                np.frombuffer(buf[pos:], dtype=np.uint8), bits, 4 * wmax
-            )
+            from .. import native as _nat
+
+            stream = np.frombuffer(buf[pos:], dtype=np.uint8)
+            lane_bytes = _nat.unpack_lane_bits(stream, bits, 4 * wmax)
+            if lane_bytes is None:
+                lane_bytes = _unpack_lane_bits(stream, bits, 4 * wmax)
         else:
             flat = np.frombuffer(buf[pos:], dtype=np.uint8)
             nbytes = (bits + 7) // 8

@@ -94,6 +94,23 @@ def load():
             ctypes.c_size_t,
             ctypes.c_void_p,
         ]
+        lib.hp_pack_lane_bits.restype = ctypes.c_int64
+        lib.hp_pack_lane_bits.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.hp_unpack_lane_bits.restype = ctypes.c_int64
+        lib.hp_unpack_lane_bits.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
         lib.hp_compress_file.restype = ctypes.c_long
         lib.hp_compress_file.argtypes = [
             ctypes.c_char_p,
@@ -155,6 +172,50 @@ def decompress(blob: bytes, k: int) -> bytes:
     if size == ctypes.c_size_t(-1).value:
         raise ValueError("corrupt ref-profile blob")
     return out[:n].tobytes()
+
+
+def pack_lane_bits(lane_bytes: np.ndarray, bits: np.ndarray):
+    """C fast path for the HTP3 compact payload pack; None if the
+    library is unavailable (callers fall back to the NumPy reference,
+    whose semantics are canonical and pinned by tests)."""
+    lib = load()
+    if lib is None:
+        return None
+    lane_bytes = np.ascontiguousarray(lane_bytes, dtype=np.uint8)
+    bits64 = np.ascontiguousarray(bits, dtype=np.int64)
+    k, nb = lane_bytes.shape
+    out = np.empty((int(bits64.sum()) + 7) // 8, dtype=np.uint8)
+    n = lib.hp_pack_lane_bits(
+        lane_bytes.ctypes.data_as(ctypes.c_void_p),
+        bits64.ctypes.data_as(ctypes.c_void_p),
+        k,
+        nb,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out[:n].tobytes()
+
+
+def unpack_lane_bits(stream: np.ndarray, bits: np.ndarray, nb_out: int):
+    """C fast path for the HTP3 compact payload unpack; None if the
+    library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    stream = np.ascontiguousarray(stream, dtype=np.uint8)
+    bits64 = np.ascontiguousarray(bits, dtype=np.int64)
+    k = bits64.shape[0]
+    out = np.zeros((k, nb_out), dtype=np.uint8)
+    rc = lib.hp_unpack_lane_bits(
+        stream.ctypes.data_as(ctypes.c_void_p),
+        stream.shape[0],
+        bits64.ctypes.data_as(ctypes.c_void_p),
+        k,
+        nb_out,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise ValueError("payload shorter than bit counts imply")
+    return out
 
 
 def histogram(data: bytes) -> np.ndarray:

@@ -664,4 +664,88 @@ void hh_histogram(const uint8_t* data, size_t n, uint64_t out[256]) {
   Histogram(data, n, out);
 }
 
+// ---- HTP3 compact-profile bit-granular lane payload (host fast path) ----
+//
+// The tpu-profile compact layout (models/tpu_codec.py docstring)
+// concatenates lane i's first bits[i] payload bits, MSB-first within
+// each byte, with no per-lane byte rounding.  The NumPy reference
+// implementation (_pack_lane_bits / _unpack_lane_bits) is the canonical
+// semantics and costs ~150 ms per 16 MiB block; these single-pass
+// bit-buffer versions are ~10x faster and are dispatched by
+// huffman_tpu.native when the library is available.  Tests pin C ==
+// NumPy byte-for-byte (test_tpu_codec.py::test_native_lane_bits_*).
+
+// Pack k lanes of row stride nb into `out`; returns bytes written
+// ((sum bits + 7) / 8).  `out` must have at least that capacity.
+int64_t hp_pack_lane_bits(const uint8_t* lane_bytes, const int64_t* bits,
+                          int64_t k, int64_t nb, uint8_t* out) {
+  uint64_t buf = 0;
+  int nbuf = 0;
+  int64_t op = 0;
+  for (int64_t i = 0; i < k; ++i) {
+    const uint8_t* src = lane_bytes + i * nb;
+    const int64_t nbits = bits[i];
+    const int64_t full = nbits >> 3;
+    const int rem = (int)(nbits & 7);
+    for (int64_t j = 0; j < full; ++j) {
+      buf = (buf << 8) | src[j];
+      nbuf += 8;
+      if (nbuf >= 8) {
+        nbuf -= 8;
+        out[op++] = (uint8_t)(buf >> nbuf);
+      }
+    }
+    if (rem) {
+      buf = (buf << rem) | (uint64_t)(src[full] >> (8 - rem));
+      nbuf += rem;
+      if (nbuf >= 8) {
+        nbuf -= 8;
+        out[op++] = (uint8_t)(buf >> nbuf);
+      }
+    }
+  }
+  if (nbuf) out[op++] = (uint8_t)(buf << (8 - nbuf));
+  return op;
+}
+
+// Inverse: split `stream` into k rows of nb bytes (callers pass a
+// ZEROED buffer; tails beyond each lane's bits stay zero, matching the
+// NumPy reference).  Returns 0 on success, -1 if the stream is shorter
+// than the bit counts imply.
+int64_t hp_unpack_lane_bits(const uint8_t* stream, int64_t stream_len,
+                            const int64_t* bits, int64_t k, int64_t nb,
+                            uint8_t* out) {
+  int64_t total = 0;
+  for (int64_t i = 0; i < k; ++i) total += bits[i];
+  if (total > stream_len * 8) return -1;
+  uint64_t buf = 0;
+  int nbuf = 0;
+  int64_t sp = 0;
+  for (int64_t i = 0; i < k; ++i) {
+    uint8_t* dst = out + i * nb;
+    const int64_t nbits = bits[i];
+    const int64_t full = nbits >> 3;
+    const int rem = (int)(nbits & 7);
+    for (int64_t j = 0; j < full; ++j) {
+      if (nbuf < 8) {
+        buf = (buf << 8) | (sp < stream_len ? stream[sp] : 0);
+        ++sp;
+        nbuf += 8;
+      }
+      nbuf -= 8;
+      dst[j] = (uint8_t)(buf >> nbuf);
+    }
+    if (rem) {
+      if (nbuf < rem) {
+        buf = (buf << 8) | (sp < stream_len ? stream[sp] : 0);
+        ++sp;
+        nbuf += 8;
+      }
+      nbuf -= rem;
+      dst[full] = (uint8_t)(((buf >> nbuf) & ((1u << rem) - 1)) << (8 - rem));
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

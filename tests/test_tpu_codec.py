@@ -359,6 +359,34 @@ def test_huff_counts_malformed_rejected():
 
 
 @pytest.mark.parametrize("seed", range(6))
+def test_native_lane_bits_matches_numpy(seed):
+    """The C fast path (hp_pack_lane_bits / hp_unpack_lane_bits) must be
+    byte-identical to the canonical NumPy reference on adversarial lane
+    shapes (zero-bit lanes, sub-byte lanes, every start phase)."""
+    from huffman_tpu import native
+    from huffman_tpu.models.tpu_codec import _pack_lane_bits, _unpack_lane_bits
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    r = np.random.default_rng(seed)
+    k = int(r.integers(1, 50))
+    nb = 4 * int(r.integers(1, 6))
+    bits = r.integers(0, 8 * nb + 1, k).astype(np.int64)
+    bits[r.random(k) < 0.3] = 0
+    lane_bytes = r.integers(0, 256, (k, nb), dtype=np.uint8)
+    pn = _pack_lane_bits(lane_bytes, bits)
+    assert native.pack_lane_bits(lane_bytes, bits) == pn
+    st = np.frombuffer(pn, np.uint8)
+    np.testing.assert_array_equal(
+        native.unpack_lane_bits(st, bits, nb), _unpack_lane_bits(st, bits, nb)
+    )
+    # Truncated stream must raise, not read past the end.
+    if bits.sum() >= 16:
+        with pytest.raises(ValueError):
+            native.unpack_lane_bits(st[: len(st) // 2], bits, nb)
+
+
+@pytest.mark.parametrize("seed", range(6))
 def test_pack_lane_bits_matches_naive(seed):
     """The vectorized shift-based bit repack (serialize fast path) must
     match a naive python bit-string concatenation for ragged lane sizes,
