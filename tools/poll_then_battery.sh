@@ -26,6 +26,7 @@ while true; do
     echo "GAVE UP waiting for tunnel after ${MAX_WAIT_S}s" | tee -a "$LOG/status.txt"
     exit 3
   fi
-  # Up-windows have been as short as ~2 min; poll fast enough to catch them.
-  sleep 120
+  # Up-windows have been as short as ~2 min (round 5: seconds); poll
+  # fast enough to catch them — the probe itself costs ~30 s anyway.
+  sleep 45
 done
