@@ -302,7 +302,7 @@ def _make_decode_kernel(
                     )
                 return parts
 
-            if scan == "pair":
+            if scan in ("pair", "pair_pre"):
                 # Two-boundary steps (the TPU analog of the reference's
                 # Decoder2x roadmap item, huffman.cpp:611 and 634-704):
                 # wd = 2*group bits per step.  Codes are >= group bits
@@ -329,10 +329,28 @@ def _make_decode_kernel(
                     b1 = c < wd
                     p2 = c + ln1
                     b2 = b1 & (p2 < wd)
-                    win2 = (
-                        (F << p2.astype(jnp.uint32)) >> (32 - MAX_CODE_LEN)
-                    ).astype(_I32)
-                    ln2 = tree_sum(ln_parts(win2))
+                    if scan == "pair_pre":
+                        # pair_pre: entry 2's offset p2 is confined to
+                        # [group, wd), so its chain can run at each FIXED
+                        # offset — c-independent, fully off the serial
+                        # c -> ln1 -> p2 path — and be selected by p2.
+                        # Costs (group - 1) extra chains per step; only
+                        # sane for small groups (dispatch guards <= 4).
+                        win2s, ln2s = [], []
+                        for off in range(group, wd):
+                            wf = ((F << off) >> (32 - MAX_CODE_LEN)).astype(_I32)
+                            win2s.append(wf)
+                            ln2s.append(tree_sum(ln_parts(wf)))
+                        win2, ln2 = win2s[0], ln2s[0]
+                        for i, off in enumerate(range(group + 1, wd), 1):
+                            hit = p2 == off
+                            win2 = jnp.where(hit, win2s[i], win2)
+                            ln2 = jnp.where(hit, ln2s[i], ln2)
+                    else:
+                        win2 = (
+                            (F << p2.astype(jnp.uint32)) >> (32 - MAX_CODE_LEN)
+                        ).astype(_I32)
+                        ln2 = tree_sum(ln_parts(win2))
                     hi1 = c >= group  # entry 1 lands in the high slot
                     e1 = pack_ent(win1, ln1, c2, sp * 2 + hi1.astype(_I32))
                     # Entry 2 always lands in the high slot: group <=
@@ -931,8 +949,10 @@ def decode_bitserial_pallas(
         # +5.74% together) — auto-clear them like the other fused
         # defaults so legacy/dyn reference variants stay requestable.
         fuse_r2 = fuse_r3 = fuse_s3 = stage_ln = fuse_r4 = False
-    if scan == "pair" and 32 % (2 * group) != 0:
-        raise ValueError(f"scan='pair' needs 2*group | 32, got group={group}")
+    if scan in ("pair", "pair_pre") and 32 % (2 * group) != 0:
+        raise ValueError(f"scan='{scan}' needs 2*group | 32, got group={group}")
+    if scan == "pair_pre" and group > 4:
+        raise ValueError("scan='pair_pre' costs group-1 extra chains; group <= 4 only")
     kernel = _make_decode_kernel(
         W, group, out_len, t_rows, blk, scan, spec, debug_stages,
         syms_identity, dev_slots, out_u8, dyn_rounds, legacy_pack,

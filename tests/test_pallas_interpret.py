@@ -444,10 +444,11 @@ def test_decode_kernel_legacy_pack_matches(style):
         {"scan": "pair", "fuse_r2": False, "fuse_r3": False, "fuse_r4": False,
          "fuse_s3": False},
         {"scan": "pair", "val_rounds": True},
+        {"scan": "pair_pre"},
     ],
     ids=["r1", "s3", "r1+s3", "r2", "r2+s3", "val", "r2+val", "r3", "r3+s3",
          "lnpack", "lnpack-nofuse", "lnpack+val", "gscan", "gscan+lnpack",
-         "r4", "r4+lnpack", "r4-nos3", "pair", "pair-nofuse", "pair+val"],
+         "r4", "r4+lnpack", "r4-nos3", "pair", "pair-nofuse", "pair+val", "pairpre"],
 )
 def test_decode_kernel_fused_round_variants(style, flags):
     """fuse_r1 (round 1 merged into the scan's slot stores) and fuse_s3
@@ -467,6 +468,8 @@ def test_decode_kernel_fused_round_variants(style, flags):
     w = int((np.asarray(bits).max() + 31) // 32)
     words = jnp.asarray(np.asarray(words32[:w]))
     group = max(1, min(t["l_min"], 32))
+    if flags.get("scan") == "pair_pre" and group > 4:
+        pytest.skip("pair_pre is guarded to group <= 4")
     eb, gr, sy = (
         jnp.asarray(t["e_bound"]),
         jnp.asarray(t["g_rank"]),

@@ -90,6 +90,7 @@ step bench2     600  python bench.py
 # compare chain ~27%, shifting the economics toward grouping).  Flip at
 # >= 3%; either way RESULTS.md gets the measured record + op arithmetic.
 step ab_pair    1200 python tools/ab.py decode --b scan=pair --size 16777216 --rounds 5
+step ab_pairpre 1200 python tools/ab.py decode --b scan=pair_pre --size 16777216 --rounds 5
 step ab_gt      1200 python tools/ab.py decode --b scan=group_tree --size 16777216 --rounds 5
 
 # Headline on the shipping defaults + compact-header blob (first bench

@@ -75,6 +75,7 @@ def main() -> int:
         # Round-5 scan-structure variants (stage_ln/fuse_r4 are the
         # production defaults on the A side since 23f1293).
         "ab_pair": "scan=pair (2 boundaries/step)",
+        "ab_pairpre": "scan=pair_pre (fixed-offset chain2)",
         "ab_gt": "scan=group_tree re-race",
     }
     encode_combos = {
