@@ -64,6 +64,11 @@ class CanonicalCoding:
     len_count: np.ndarray
     len_mask: int
     num_syms: int
+    #: The build's length limit — ALSO the code_bits alignment width
+    #: (codes are left-aligned in max_len bits, so consumers re-aligning
+    #: to another width must shift by the difference; not inferable from
+    #: realized lengths).  12 = ref profile, 15 = tpu profile.
+    max_len: int = MAX_CODE_LEN
 
 
 def _huffman_code_lengths(counts_desc: np.ndarray) -> np.ndarray:
@@ -249,6 +254,7 @@ def make_canonical_coding(
             len_count=np.zeros(max_len + 1, dtype=np.uint16),
             len_mask=0,
             num_syms=0,
+            max_len=max_len,
         )
 
     # Deterministic order: frequency descending, symbol ascending on ties.
@@ -279,6 +285,7 @@ def make_canonical_coding(
         len_count=len_count,
         len_mask=len_mask,
         num_syms=num_syms,
+        max_len=max_len,
     )
 
 

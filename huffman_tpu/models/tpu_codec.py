@@ -298,6 +298,7 @@ class TpuCompressed:
             len_count=len_count,
             len_mask=len_mask,
             num_syms=num_syms,
+            max_len=MAX_CODE_LEN,  # 15: tpu-profile alignment
         )
 
 

@@ -319,7 +319,19 @@ def _make_decode_kernel(
                 wd = 2 * group
                 for sp in range(32 // wd):
                     j0 = sp * wd
-                    F = full_at(j0)
+                    # TRUE 32-bit funnel, not full_at: its dead-funnel
+                    # shortcut (skip the nx term for j0 <= 32-MAX) is
+                    # only valid when the caller uses the UNSHIFTED top
+                    # MAX bits — here F is re-shifted by up to wd-1
+                    # (win1) and wd-2+group (win2), so windows starting
+                    # in [j0, j0+wd) reach stream bits up to
+                    # j0 + wd - 2 + MAX, which cross into nx for
+                    # j0 > 32 - MAX - wd + 1.  With 12-bit tables the
+                    # truncation was unobservable (e-bound granularity
+                    # 2^3 exceeds the <= wd-1 corrupted low bits) — at
+                    # the TPU profile's 15-bit codes it corrupts real
+                    # decodes (caught on the 1 MiB biased corpus).
+                    F = cur if j0 == 0 else (cur << j0) | (nx >> (32 - j0))
                     # Boundary 1 at bit j0 + c: top MAX bits of F << c.
                     # c <= 14 always (countdown of a <= 15-bit code), so
                     # the shift is in range; when c >= wd the windows

@@ -33,7 +33,12 @@ def pack_encode_table(cc: coding.CanonicalCoding) -> np.ndarray:
     """
     from ..constants import TPU_MAX_CODE_LEN
 
-    code15 = cc.code_bits.astype(np.uint32) << (TPU_MAX_CODE_LEN - MAX_CODE_LEN)
+    # cc.code_bits are left-aligned in cc.max_len bits (12 for the ref
+    # build, 15 for the tpu-profile clamp build) — shift by the
+    # DIFFERENCE, not a hardcoded 3: a 15-bit cc is already aligned.
+    shift = TPU_MAX_CODE_LEN - getattr(cc, "max_len", MAX_CODE_LEN)
+    assert shift >= 0, "cc built deeper than the kernel alignment"
+    code15 = cc.code_bits.astype(np.uint32) << shift
     return (code15 << 4) | cc.code_lens.astype(np.uint32)
 
 

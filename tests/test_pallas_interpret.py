@@ -35,9 +35,20 @@ def _setup(seed=0, k=1024, s=32, style="biased"):
     return _setup_from(data, k=k, s=s)
 
 
-def _setup_from(data, k, s):
+def _setup_from(data, k, s, tpu_tables=False):
+    """``tpu_tables=True`` builds with the PRODUCTION 15-bit clamped
+    construction (TpuCodec's table path) instead of the 12-bit ref
+    build.  The depth matters: 12-bit codes leave the bottom 3 bits of
+    every 15-bit decode window dead (e-bound granularity 8), so kernels
+    with window-bit bugs below that granularity pass every 12-bit test —
+    exactly how the pair scan's funnel truncation slipped through."""
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN
+
     hist = np.bincount(data, minlength=256)
-    cc = coding.make_canonical_coding(hist.astype(np.uint64))
+    cc = coding.make_canonical_coding(
+        hist.astype(np.uint64),
+        **({"max_len": TPU_MAX_CODE_LEN, "clamp": True} if tpu_tables else {}),
+    )
     enc_table = jnp.asarray(tables.pack_encode_table(cc).astype(np.int32))
     t = decode_tables_bitserial(cc.len_count, cc.sorted_syms)
     b2 = jnp.asarray(data).reshape(k, s).T.astype(jnp.int32)
@@ -176,6 +187,51 @@ def test_decode_kernel_pair_scan_one_bit_codes():
             words, eb, gr, sy, group=1, out_len=s, scan="pair"
         )
     got = np.asarray(out_pair).reshape(s, k).astype(np.uint8).T.reshape(-1)
+    np.testing.assert_array_equal(got, data)
+
+
+@pytest.mark.parametrize("scan", ["pair", "pair_pre"])
+def test_decode_kernel_pair_scan_15bit_tables(scan):
+    """Regression: the pair scans re-shift their step funnel, so windows
+    starting at bits 16..17 of a word reach into the NEXT word — with
+    full-depth 15-bit production tables (this corpus builds lengths up
+    to 15) the truncated funnel corrupted real decodes while every
+    12-bit test passed (low-3-bit immunity).  Pin pair == per-bit on the
+    15-bit build."""
+    k, s = 1024, 128
+    data = np.asarray(
+        __import__("huffman_tpu.bench.workloads", fromlist=["biased_u8"]).biased_u8(
+            k * s, 0
+        )
+    )
+    data, cc, enc_table, t, b2 = _setup_from(data, k=k, s=s, tpu_tables=True)
+    assert int(cc.code_lens[cc.code_lens > 0].max()) >= 14, "need deep codes"
+    valid = jnp.ones((s, k), bool)
+    w16, wc, bits = encode_lanes(b2, valid, enc_table)
+    from huffman_tpu.constants import TPU_MAX_CODE_LEN as MAX_CODE_LEN
+
+    w32c = (s * MAX_CODE_LEN + 31) // 32 + 1
+    w16p = jnp.concatenate(
+        [w16, jnp.zeros((2 * w32c - w16.shape[0], k), w16.dtype)]
+    )
+    words32 = pack_u16_words_to_u32(w16p, jnp.minimum(wc, 2 * w32c))
+    w = int((np.asarray(bits).max() + 31) // 32)
+    words = jnp.asarray(np.asarray(words32[:w])).reshape(w, k // 128, 128)
+    eb, gr, sy = (
+        jnp.asarray(t["e_bound"]),
+        jnp.asarray(t["g_rank"]),
+        jnp.asarray(t["syms"]),
+    )
+    group = max(1, min(t["l_min"], 2))
+    with pltpu.force_tpu_interpret_mode():
+        ref = decode_bitserial_pallas(
+            words, eb, gr, sy, group=group, out_len=s
+        )
+        pr = decode_bitserial_pallas(
+            words, eb, gr, sy, group=group, out_len=s, scan=scan
+        )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(pr))
+    got = np.asarray(pr).reshape(s, k).astype(np.uint8).T.reshape(-1)
     np.testing.assert_array_equal(got, data)
 
 

@@ -1,0 +1,81 @@
+"""One-session multi-variant decode A/B: production vs each listed B.
+
+The tunneled chip has been coming up in windows of seconds to minutes
+(round-5 outage log), and every separate ab.py process pays ~40 s of
+python+jax import, data/codec setup and compile before it measures.
+This wrapper builds the corpus ONCE and runs the full interleaved
+ab_compare block for each B variant in one process, so three scan
+variants cost one setup instead of three — and the readings are
+same-session comparable ACROSS variants, not just within one A/B.
+
+Usage: python tools/ab_multi.py "scan=pair" "scan=pair_pre" "scan=group_tree" \
+         [--size 16777216] [--rounds 3]
+
+Prints one ab.py-compatible JSON line per variant (plus a `variant`
+field), so summarize_battery's per-step parsing keeps working when each
+line is also tee'd to its own log.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+import ab  # noqa: E402  (tools/ab.py)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("variants", nargs="+", help="B override strings, e.g. scan=pair")
+    ap.add_argument("--size", type=int, default=16 << 20)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from huffman_tpu.models.tpu_codec import TpuCodec
+
+    n = args.size
+    data = jnp.asarray(ab.biased_bytes(n, args.seed))
+    codec = TpuCodec()
+    comp = codec.encode_device(data)
+
+    fa, out_a = ab._decode_variant(comp, n, {})
+    oa = out_a()
+    for b in args.variants:
+        t0 = time.monotonic()
+        try:
+            fb, out_b = ab._decode_variant(comp, n, ab._parse_overrides(b))
+            if not np.array_equal(oa, out_b()):
+                print(json.dumps({"variant": b, "error": "variants differ bit-wise"}),
+                      flush=True)
+                continue
+            res = ab.ab_compare(fa, fb, rounds=args.rounds, reps=args.reps,
+                                name_a="production", name_b=b)
+        except Exception as e:  # noqa: BLE001 — a dead tunnel mid-variant
+            print(json.dumps({"variant": b, "error": repr(e)}), flush=True)
+            continue
+        res["variant"] = b
+        res["bit_exact"] = True
+        res["size"] = n
+        res["GiB_s_a_median"] = round(
+            n / (statistics.median(res["t_a_ms"]) / 1e3) / (1 << 30), 3)
+        res["GiB_s_b_median"] = round(
+            n / (statistics.median(res["t_b_ms"]) / 1e3) / (1 << 30), 3)
+        res["wall_s"] = round(time.monotonic() - t0, 1)
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,12 @@ step bench2     600  python bench.py
 # re-raced on the 15-bit stage_ln base (the migration lengthened the
 # compare chain ~27%, shifting the economics toward grouping).  Flip at
 # >= 3%; either way RESULTS.md gets the measured record + op arithmetic.
+# One-session three-way scan race FIRST (ab_multi amortizes the ~40 s
+# setup across variants — sized for a minutes-long tunnel window); the
+# individual 5-round A/Bs behind it confirm at higher power if windows
+# allow.
+step ab_scans   1500 python tools/ab_multi.py scan=pair scan=pair_pre scan=group_tree --rounds 3
+
 step ab_pair    1200 python tools/ab.py decode --b scan=pair --size 16777216 --rounds 5
 step ab_pairpre 1200 python tools/ab.py decode --b scan=pair_pre --size 16777216 --rounds 5
 step ab_gt      1200 python tools/ab.py decode --b scan=group_tree --size 16777216 --rounds 5
