@@ -930,12 +930,20 @@ def decode_bitserial_pallas(
     syms2 = jnp.concatenate([packed.reshape(1, 128), jnp.zeros((1, 128), _I32)])
 
     if scan == "auto":
-        # Measured on v5e (16 MiB biased, W=20, present-length spec): the
-        # per-bit scan wins — 10.66 GiB/s vs 10.47 (group_tree) and 8.21
-        # (grouped scan with a sequential indicator sum).  The grouped
-        # scan's fewer ops sit on the serial c -> select -> ln -> c
-        # chain, and even tree-reduced its latency eats the op savings.
-        scan = "bit"
+        # Round-5 on-chip race (16 MiB biased, 15-bit stage_ln+fuse_r4
+        # base, same-session 5-round A/Bs, all bit-exact): pair_pre
+        # +17.0% (12.75 -> 14.92 GiB/s), pair +12.8%, group_tree +8.4%
+        # over the per-bit scan — two boundaries per 2*group-bit step
+        # with entry-2's chains at fixed offsets (off the serial path)
+        # wins decisively now that the 15-bit chain dominates per-bit
+        # cost.  (The round-2 12-bit race had read bit 10.66 vs
+        # group_tree 10.47 vs group-seq 8.21 — the migration flipped
+        # the economics.)  pair_pre needs 2*group | 32 and group <= 4;
+        # outside that the per-bit scan remains the default.
+        if 32 % (2 * group) == 0 and group <= 4:
+            scan = "pair_pre"
+        else:
+            scan = "bit"
     n_steps = KR // blk
     if step_words is None:
         step_words = jnp.full((n_steps,), W, _I32)
@@ -960,7 +968,11 @@ def decode_bitserial_pallas(
         # stage_ln/fuse_r4 joined the production defaults (round-4c A/B:
         # +5.74% together) — auto-clear them like the other fused
         # defaults so legacy/dyn reference variants stay requestable.
+        # Ditto the round-5 pair_pre scan default: the legacy variants
+        # model the pre-round-3 kernel, whose scan was per-bit.
         fuse_r2 = fuse_r3 = fuse_s3 = stage_ln = fuse_r4 = False
+        if scan == "pair_pre":
+            scan = "bit"
     if scan in ("pair", "pair_pre") and 32 % (2 * group) != 0:
         raise ValueError(f"scan='{scan}' needs 2*group | 32, got group={group}")
     if scan == "pair_pre" and group > 4:
