@@ -1,0 +1,62 @@
+#!/bin/bash
+# Round-5 follow-up battery: confirm the pair_pre scan-default flip and
+# redo the hist-stride encode A/Bs with the exactness check skipped
+# (different strides legitimately build different tables).  Same
+# resumable step framework as run_battery.sh.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-benchmarks/r5b_battery_log}
+mkdir -p "$LOG"
+
+probe() {
+  timeout 90 python bench.py --probe >/dev/null 2>&1
+}
+
+step() {  # step NAME TIMEOUT CMD...
+  local name=$1 tmo=$2; shift 2
+  local h
+  h=$(echo "$*" | sha1sum | cut -c1-8)
+  if grep -q "=== $name#$h rc=0" "$LOG/status.txt" 2>/dev/null; then
+    echo "=== $name#$h already done — skipping" | tee -a "$LOG/status.txt"
+    return 0
+  fi
+  if [ -f "$LOG/deadline_epoch" ] && [ "$(date +%s)" -gt "$(cat "$LOG/deadline_epoch")" ]; then
+    echo "DEADLINE PASSED before step $name — stopping battery" | tee -a "$LOG/status.txt"
+    exit 4
+  fi
+  if [ -f "$LOG/last_ok_epoch" ] && [ $(( $(date +%s) - $(cat "$LOG/last_ok_epoch") )) -lt 60 ]; then
+    :
+  elif ! probe; then
+    echo "TUNNEL DEAD before step $name — aborting battery" | tee -a "$LOG/status.txt"
+    exit 2
+  fi
+  echo "=== $name#$h start $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
+  timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1
+  local rc=$?
+  [ "$rc" -eq 0 ] && date +%s > "$LOG/last_ok_epoch"
+  echo "=== $name#$h rc=$rc $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
+  tail -3 "$LOG/$name.log" | sed 's/^/    /'
+}
+
+# Post-flip confirmation: turning the pair_pre default OFF (back to the
+# per-bit scan) should lose ~15%; if it reads ~0%, REVERT the flip.
+step ab_ppchk   1200 python tools/ab.py decode --b scan=bit --size 16777216 --rounds 5
+
+# Headline on the flipped default.
+step bench5      600 python bench.py
+
+# Hist-stride A/Bs, exactness skipped by design (different strides
+# build different tables; the ratio guard already pinned the cost at
+# ~0 on CPU).
+step ab_h16x    1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=16 --size 16777216 --rounds 5 --skip-exact
+step ab_h32x    1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride=32 --size 16777216 --rounds 5 --skip-exact
+
+# Decode stage split on the PAIR_PRE production kernel (dec_s1/s2 in
+# the main battery may straddle the flip; these are unambiguous).
+step pp_s1      1200 python tools/ab.py decode --b debug_stages=1 --skip-exact --size 16777216 --rounds 3
+step pp_s2      1200 python tools/ab.py decode --b debug_stages=2 --skip-exact --size 16777216 --rounds 3
+
+# Second headline for the drift band.
+step bench6      600 python bench.py
+
+echo "BATTERY2 COMPLETE $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
