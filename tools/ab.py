@@ -112,6 +112,11 @@ def _decode_variant(comp, n: int, overrides: dict):
     k = comp.k
     s = -(-n // k)
     group, w, spec, syms_identity, dev_slots, dev_rd = decode_statics(m, s)
+    # Dispatch-policy override: a SMALLER group than decode_statics'
+    # choice is always valid (group <= l_min still holds) and changes
+    # scan eligibility — e.g. group=2 on an l_min=3 corpus unlocks the
+    # pair scans at the cost of more staging slots.
+    group = overrides.get("group", group)
     dev_slots = overrides.get("dev_slots", dev_slots)
     if overrides.get("sym_gather", 0):
         syms_identity, dev_slots = False, 0
@@ -147,7 +152,7 @@ def _decode_variant(comp, n: int, overrides: dict):
     )
     kw = {kk: vv for kk, vv in overrides.items()
           if kk not in ("blk", "scan", "debug_stages", "dev_slots",
-                        "sym_gather", "sym_ident", "spec_terms")}
+                        "sym_gather", "sym_ident", "spec_terms", "group")}
 
     def once(pert):
         o = decode_bitserial_pallas(
@@ -218,6 +223,8 @@ def main():
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--reps", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--workload", default="biased",
+                    help="bench workload name (biased|sorted|uniform|lorem|file)")
     ap.add_argument("--skip-exact", action="store_true",
                     help="skip the bit-exactness cross-check (e.g. debug_stages variants)")
     args = ap.parse_args()
@@ -228,7 +235,13 @@ def main():
     from huffman_tpu.models.tpu_codec import TpuCodec
 
     n = args.size
-    data = jnp.asarray(biased_bytes(n, args.seed))
+    if args.workload == "biased":
+        data = jnp.asarray(biased_bytes(n, args.seed))
+    else:
+        from huffman_tpu.bench.workloads import make_workload
+
+        import numpy as _np
+        data = jnp.asarray(_np.frombuffer(make_workload(args.workload, n, None), _np.uint8))
     codec = TpuCodec()
     comp = codec.encode_device(data)
     ov_a, ov_b = _parse_overrides(args.a), _parse_overrides(args.b)

@@ -56,6 +56,11 @@ step ab_h32x    1200 python tools/ab.py encode --a hist_stride=8 --b hist_stride
 step pp_s1      1200 python tools/ab.py decode --b debug_stages=1 --skip-exact --size 16777216 --rounds 3
 step pp_s2      1200 python tools/ab.py decode --b debug_stages=2 --skip-exact --size 16777216 --rounds 3
 
+# Dispatch-policy probe: lorem's l_min=3 picks group=3, which the
+# pair scans cannot use (2*3 does not divide 32).  Does dropping to
+# group=2 (more staging slots, but pair_pre unlocked) win on real text?
+step ab_lorem   1200 python tools/ab.py decode --workload lorem --b group=2 --size 16777216 --rounds 5
+
 # Second headline for the drift band.
 step bench6      600 python bench.py
 
