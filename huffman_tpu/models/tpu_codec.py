@@ -317,9 +317,15 @@ class TpuCompressed:
 #: because the TPU encode kernel is fast enough that counting became the
 #: bottleneck.  `TpuCodec(hist_stride=1)` forces exact counting.
 _HIST_SAMPLE_MIN = 4 << 20
-_HIST_SAMPLE_STRIDE = 8
+#: Round-5 flip 8 -> 32: same-session encode A/Bs (r5b_battery_log)
+#: read stride 16 +8.0% and stride 32 +11.2% whole-encode (21.2 -> 23.6
+#: GiB/s) with the clamped table build making the deeper sampling
+#: ratio-free (CPU check: payload ratio 2.19165 / 2.19164 / 2.19162 at
+#: 8/16/32 — the round-4 clamp removed the smoothing-noise penalty that
+#: made round 3's sampling costly).
+_HIST_SAMPLE_STRIDE = 32
 _HIST_ROW = 512  # sampled run length (bytes); strided CONTIGUOUS rows
-#                  vectorize (a flat [::8] slice would shuffle lanes)
+#                  vectorize (a flat [::stride] slice would shuffle lanes)
 
 
 def _table_hist(padded, hist_stride: int):

@@ -103,7 +103,7 @@ def test_sampled_hist_non_divisible_length():
 
     from huffman_tpu.models import tpu_codec as tc
 
-    n = tc._HIST_ROW * 9 + 37  # >= _HIST_ROW*stride, not divisible
+    n = tc._HIST_ROW * (tc._HIST_SAMPLE_STRIDE + 1) + 37  # >= ROW*stride, not divisible
     data = jnp.asarray(np.frombuffer(biased_proba(n=n), np.uint8))
     h = np.asarray(tc._table_hist(data, tc._HIST_SAMPLE_STRIDE))
     assert h.shape == (256,)
