@@ -1,0 +1,41 @@
+#!/bin/bash
+# Round-5 battery 3: walk the hist-stride ladder further on the
+# stride-32 base, plus drift-band headline readings on the final
+# defaults.  Same resumable framework.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-benchmarks/r5c_battery_log}
+mkdir -p "$LOG"
+probe() { timeout 90 python bench.py --probe >/dev/null 2>&1; }
+step() {
+  local name=$1 tmo=$2; shift 2
+  local h; h=$(echo "$*" | sha1sum | cut -c1-8)
+  if grep -q "=== $name#$h rc=0" "$LOG/status.txt" 2>/dev/null; then
+    echo "=== $name#$h already done — skipping" | tee -a "$LOG/status.txt"; return 0
+  fi
+  if [ -f "$LOG/deadline_epoch" ] && [ "$(date +%s)" -gt "$(cat "$LOG/deadline_epoch")" ]; then
+    echo "DEADLINE PASSED before step $name" | tee -a "$LOG/status.txt"; exit 4
+  fi
+  if [ -f "$LOG/last_ok_epoch" ] && [ $(( $(date +%s) - $(cat "$LOG/last_ok_epoch") )) -lt 60 ]; then
+    :
+  elif ! probe; then
+    echo "TUNNEL DEAD before step $name — aborting battery" | tee -a "$LOG/status.txt"; exit 2
+  fi
+  echo "=== $name#$h start $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
+  timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1
+  local rc=$?
+  [ "$rc" -eq 0 ] && date +%s > "$LOG/last_ok_epoch"
+  echo "=== $name#$h rc=$rc $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
+  tail -3 "$LOG/$name.log" | sed 's/^/    /'
+}
+
+# Stride ladder beyond 32 (the 8->32 flip read +11.2%): the remaining
+# hist cost at 32 is ~0.04 ms, so 64 is worth at most ~+2-3% — measure
+# rather than guess, exactness skipped by design.
+step ab_h64     1200 python tools/ab.py encode --a hist_stride=32 --b hist_stride=64 --size 16777216 --rounds 5 --skip-exact
+
+# Headline drift band on the final defaults (pair_pre + stride 32).
+step bench7      600 python bench.py
+step bench8      600 python bench.py
+
+echo "BATTERY3 COMPLETE $(date -u +%H:%M:%S)" | tee -a "$LOG/status.txt"
