@@ -75,6 +75,7 @@ def main() -> int:
         # Round-5 scan-structure variants (stage_ln/fuse_r4 are the
         # production defaults on the A side since 23f1293).
         "ab_pair": "scan=pair (2 boundaries/step)",
+        "ab_lorem": "group=2+pair_pre on lorem (closed: -1.18%)",
         "ab_pairpre": "scan=pair_pre (fixed-offset chain2)",
         "ab_gt": "scan=group_tree re-race",
     }
@@ -84,6 +85,9 @@ def main() -> int:
         "ab_fused": "fused_tab=1",
         "ab_h16": "hist_stride 8->16",
         "ab_h32": "hist_stride 8->32",
+        "ab_h16x": "hist_stride 8->16 (skip-exact)",
+        "ab_h32x": "hist_stride 8->32 (skip-exact)",
+        "ab_h64": "hist_stride 32->64 (skip-exact)",
     }
 
     print(f"battery summary: {logdir}")
@@ -112,6 +116,7 @@ def main() -> int:
         ("ab_identchk", "identity rank->symbol ON"),
         ("ab_r3s3chk", "fuse_r3+s3 OFF"),
         ("ab_lnr4chk", "stage_ln+fuse_r4 OFF"),
+        ("ab_ppchk", "per-bit scan (pair_pre OFF)"),
     ):
         g = last_json(logdir / f"{guard}.log")
         if g and "b_speedup_pct" in g:
