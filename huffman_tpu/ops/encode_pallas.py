@@ -46,7 +46,7 @@ def _shift_up(x, rows):
     return jnp.where(idx >= rows, rolled, 0)
 
 
-def _lookup256_lanes(idx, tab_ref):
+def _lookup256_lanes(idx, tab_ref, blk=_BLK):
     """256-entry lookup via ONE lane gather of 16-bit-packed value pairs.
 
     Lane gathers cost ~50 elementwise ops each, so the 256-entry table is
@@ -59,8 +59,8 @@ def _lookup256_lanes(idx, tab_ref):
     ``15 - len`` never collides and both fields fit 16 bits.
     """
     r = idx.shape[0]
-    flat = idx.reshape(r * _BLK, 128)
-    pairs = jnp.broadcast_to(tab_ref[0:1, :], (r * _BLK, 128))
+    flat = idx.reshape(r * blk, 128)
+    pairs = jnp.broadcast_to(tab_ref[0:1, :], (r * blk, 128))
     v = jnp.take_along_axis(pairs, flat >> 1, axis=1)
     return (jnp.where((flat & 1) == 1, v >> 16, v) & 0xFFFF).reshape(idx.shape)
 
@@ -138,14 +138,15 @@ def _or_place_kernel_v2(piece, disp, t_rows):
 
 
 def _make_encode_kernel(
-    s_rows: int, t_rows: int, place_v2: bool = False, mxu_prefix: bool = False
+    s_rows: int, t_rows: int, place_v2: bool = False, mxu_prefix: bool = False,
+    blk: int = _BLK,
 ):
     S = s_rows
     place = _or_place_kernel_v2 if place_v2 else _or_place_kernel
 
     def kernel(b_ref, tab_ref, words_ref, bits_ref):
-        idx = b_ref[:]  # (S, BLK, 128) int32 byte values
-        cv, lens = _split_marker(_lookup256_lanes(idx, tab_ref))
+        idx = b_ref[:]  # (S, blk, 128) int32 byte values
+        cv, lens = _split_marker(_lookup256_lanes(idx, tab_ref, blk))
 
         if mxu_prefix:
             # Inclusive prefix as a lower-triangular matmul: lens <= 15 is
@@ -155,14 +156,14 @@ def _make_encode_kernel(
             # shift-add chain (7 rounds x ~4 ops x S rows) moves off the
             # VPU, which the placement rounds saturate, onto the
             # otherwise-idle MXU.
-            lensf = lens.reshape(S, _BLK * 128).astype(jnp.bfloat16)
+            lensf = lens.reshape(S, blk * 128).astype(jnp.bfloat16)
             r_i = jax.lax.broadcasted_iota(_I32, (S, S), 0)
             c_i = jax.lax.broadcasted_iota(_I32, (S, S), 1)
             tri = (r_i >= c_i).astype(jnp.bfloat16)
             ends = jax.lax.dot_general(
                 tri, lensf, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(_I32).reshape(S, _BLK, 128)
+            ).astype(_I32).reshape(S, blk, 128)
         else:
             # Inclusive prefix sum of lens along rows.
             ends = lens
@@ -175,7 +176,7 @@ def _make_encode_kernel(
 
         shv = offs & 15
         w0 = offs >> 4
-        row = jax.lax.broadcasted_iota(_I32, (S, _BLK, 128), 0)
+        row = jax.lax.broadcasted_iota(_I32, (S, blk, 128), 0)
 
         pieceA = (cv >> shv) & 0xFFFF
         dispA = row - w0
@@ -185,10 +186,10 @@ def _make_encode_kernel(
         # stays nonnegative); a real extra row is required — the last
         # byte's spill would otherwise fall off the end.
         spill = jnp.where(shv == 0, 0, (cv << (16 - shv)) & 0xFFFF)
-        zrow = jnp.zeros((1, _BLK, 128), _I32)
+        zrow = jnp.zeros((1, blk, 128), _I32)
         pieceB = jnp.concatenate([zrow, spill], axis=0)
         wB = jnp.concatenate([zrow, w0 + 1], axis=0)
-        rowB = jax.lax.broadcasted_iota(_I32, (S + 1, _BLK, 128), 0)
+        rowB = jax.lax.broadcasted_iota(_I32, (S + 1, blk, 128), 0)
         dispB = jnp.where(rowB >= 1, rowB - wB, 0)
         wordsB = place(pieceB, dispB, t_rows)
 
@@ -197,9 +198,10 @@ def _make_encode_kernel(
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("place_v2", "mxu_prefix"))
+@functools.partial(jax.jit, static_argnames=("place_v2", "mxu_prefix", "blk"))
 def encode_lanes_pallas(
-    byte3, enc_table, *, place_v2: bool = False, mxu_prefix: bool = False
+    byte3, enc_table, *, place_v2: bool = False, mxu_prefix: bool = False,
+    blk: int = _BLK,
 ):
     """Fused TPU encode.
 
@@ -232,17 +234,22 @@ def encode_lanes_pallas(
         [(ent[0::2] | (ent[1::2] << 16)).reshape(1, 128), jnp.zeros((1, 128), _I32)]
     )
 
-    kernel = _make_encode_kernel(S, t_rows, place_v2, mxu_prefix)
+    # blk: sublane-groups per grid step.  8 is the long-standing default;
+    # 16/32 halve/quarter the grid-step count at 2x/4x the VMEM working
+    # set (~2.1 MB per step at 8 — far under budget).  Requires KR % blk
+    # == 0 and blk % 8 == 0 (Mosaic sublane constraint).
+    assert blk % 8 == 0 and KR % blk == 0, (blk, KR)
+    kernel = _make_encode_kernel(S, t_rows, place_v2, mxu_prefix, blk)
     words, bits = pl.pallas_call(
         kernel,
-        grid=(KR // _BLK,),
+        grid=(KR // blk,),
         in_specs=[
-            pl.BlockSpec((S, _BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, blk, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((t_rows, _BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLK, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_rows, blk, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             _sds((t_rows, KR, 128), _I32, byte3),

@@ -186,7 +186,7 @@ def _encode_variant(data, s, k, w32, overrides: dict):
     # flag would otherwise build B identical to A and record a
     # plausible-looking ~0% ratio (the decode side gets this for free —
     # its unknown keys reach decode_bitserial_pallas and TypeError).
-    known = {"pallas", "hist_stride", "place_v2", "mxu_prefix", "fused_tab"}
+    known = {"pallas", "hist_stride", "place_v2", "mxu_prefix", "fused_tab", "blk"}
     unknown = set(overrides) - known
     if unknown:
         raise SystemExit(
@@ -195,8 +195,8 @@ def _encode_variant(data, s, k, w32, overrides: dict):
     use_pallas = overrides.get("pallas", 1) != 0
     hist_stride = overrides.get("hist_stride", 1)
     enc_flags = tuple(
-        (kk, bool(vv)) for kk, vv in overrides.items()
-        if kk in ("place_v2", "mxu_prefix", "fused_tab")
+        (kk, bool(vv) if kk != "blk" else int(vv)) for kk, vv in overrides.items()
+        if kk in ("place_v2", "mxu_prefix", "fused_tab", "blk")
     )
 
     def once(pert):
