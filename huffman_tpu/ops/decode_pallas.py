@@ -102,7 +102,13 @@ def chain_spec(len_count) -> tuple:
     lc = np.asarray(len_count)
     spec: list[tuple[int, int]] = []
     for l in range(1, MAX_CODE_LEN):
-        if spec and lc[l] == 0:
+        # A len_count built at a SHALLOWER limit (e.g. the 12-bit ref
+        # build) simply has no codes at the deeper levels — treat
+        # out-of-range as absent (latent IndexError since the 15-bit
+        # migration; only reachable through direct 12-bit-cc callers,
+        # the tpu profile always passes MAX_CODE_LEN+1 entries).
+        absent = l >= len(lc) or lc[l] == 0
+        if spec and absent:
             spec[-1] = (spec[-1][0], spec[-1][1] + 1)
         else:
             spec.append((l, 1))

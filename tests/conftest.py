@@ -20,8 +20,18 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 # Persistent compilation cache: the suite compiles many (S, K)-shaped scan
-# kernels; caching makes re-runs fast.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_huffman_tpu")
+# kernels; caching makes re-runs fast.  The suite gets its OWN directory,
+# keyed by the interpreter's ABI: the chip-side bench/battery tooling can
+# run under a DIFFERENT python/jaxlib (the axon environment ships a
+# pyenv 3.13 interpreter) and sharing one cache dir across ABIs poisons
+# it — deserializing an incompatible cached executable SEGFAULTED the
+# round-5 suite inside compilation_cache.get_executable_and_time.
+import sys as _sys
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    f"/tmp/jax_cache_huffman_tpu_tests_py{_sys.version_info[0]}{_sys.version_info[1]}",
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax  # noqa: E402
